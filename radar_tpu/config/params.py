@@ -1,0 +1,240 @@
+"""Typed configuration tree for the TPU-native radar framework.
+
+Replaces the copy-pasted MATLAB struct blocks of the reference drivers
+(``config.Sig_Config`` at main_simulate_echoes_with_array_v8_3.m:68-84,
+``cfar_params`` at :45-50, ``cluster_params`` at :52-54, ``config.scan`` at
+:24-25, ``config.inter_frame_cluster`` at :57-65) with frozen dataclasses and
+a single derived-constant computation path (SURVEY.md section 5.6).
+
+All fields are static Python scalars so a config hashes cleanly as a jit
+static argument; per-frame array state (targets, noise keys) lives elsewhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SigConfig:
+    """Radar signal constants (reference ``config.Sig_Config``, v8_3:68-84)."""
+
+    c: float = 2.99792458e8
+    fs: float = 25e6
+    fc: float = 9450e6
+    prt_num: int = 332            # pulses per CPI/frame
+    prt: float = 232.76e-6        # pulse repetition interval (s)
+    bandwidth: float = 20e6
+    # pulse widths: (narrow simple, medium LFM, long LFM) seconds
+    tau: Tuple[float, float, float] = (0.16e-6, 8e-6, 28e-6)
+    # gaps after narrow / medium pulses (third value unused in waveform
+    # placement; it is the remainder of the PRT) — v8_3:75
+    gap_duration: Tuple[float, float, float] = (11.4e-6, 31.8e-6, 153.4e-6)
+    # range-gate counts of the three spliced PC segments — v8_3:76
+    point_prt_segments: Tuple[int, int, int] = (228, 723, 2453)
+    channel_num: int = 16
+    beam_num: int = 13
+
+    @property
+    def wavelength(self) -> float:
+        return self.c / self.fc
+
+    @property
+    def ts(self) -> float:
+        return 1.0 / self.fs
+
+    @property
+    def point_prt(self) -> int:
+        """Samples per PRT (5819 for the default config) — v8_3:82."""
+        return round(self.prt * self.fs)
+
+    @property
+    def n_total_gate(self) -> int:
+        """Total spliced range gates (3404 default) — v8_3:84."""
+        return sum(self.point_prt_segments)
+
+    @property
+    def v_max(self) -> float:
+        """Unambiguous velocity span, lambda/(2*PRT) — v8_3:173."""
+        return self.wavelength / (2.0 * self.prt)
+
+    @property
+    def frame_time(self) -> float:
+        return self.prt_num * self.prt
+
+
+@dataclasses.dataclass(frozen=True)
+class ArrayConfig:
+    """Array geometry (reference ``config.Array``, v8_3:79)."""
+
+    element_spacing: float = 0.0138  # meters
+    # Number of physical elements; equals SigConfig.channel_num in the
+    # reference (16) but scalable to 64/128 here.
+    num_elements: int = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class ScanConfig:
+    """Servo azimuth scan (reference ``config.scan``, v8_3:24-25)."""
+
+    rpm: float = 6.0
+    start_azimuth_deg: float = 0.0
+
+    @property
+    def deg_per_sec(self) -> float:
+        return self.rpm * 6.0
+
+    def deg_per_frame(self, sig: SigConfig) -> float:
+        return self.deg_per_sec * sig.frame_time
+
+
+@dataclasses.dataclass(frozen=True)
+class CfarParams:
+    """2D GOCA-CFAR parameters (reference ``cfar_params``, v8_3:45-50)."""
+
+    ref_cells_v: int = 5
+    guard_cells_v: int = 10
+    ref_cells_r: int = 5
+    guard_cells_r: int = 10
+    threshold_factor: float = 8.0
+    method: str = "GOCA"  # one of GOCA | CA | SO (per-dim combine rule)
+    # Fixed detection capacity for jit-static shapes (SURVEY.md section 7.4).
+    max_detections: int = 512
+
+
+@dataclasses.dataclass(frozen=True)
+class Cfar1DParams:
+    """Real-data-style segmented 1D CA-GO/SO CFAR
+    (debug_simulated_data_processing_v2.m:419-558; SURVEY.md section 2.1
+    "CFAR detector (real-data style)")."""
+
+    ref_cells: int = 16
+    guard_cells: int = 4
+    threshold_factor: float = 8.0
+    method: str = "GO"  # GO | SO | CA
+    # zero-velocity clutter suppression half-width, in m/s
+    mtd_zero_vel_ms: float = 3.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ClusterParams:
+    """Intra/inter-beam clustering gates (reference ``cluster_params``,
+    v8_3:52-54)."""
+
+    max_range_sep: float = 30.0   # meters
+    max_vel_sep: float = 0.4      # m/s
+    max_angle_sep: float = 5.0    # degrees (stage 1 only)
+    max_clusters: int = 128       # jit-static capacity
+
+
+@dataclasses.dataclass(frozen=True)
+class InterFrameParams:
+    """Inter-frame 5D track association (reference
+    ``config.inter_frame_cluster``, v8_3:57-65)."""
+
+    enable: bool = True
+    k: float = 1.0
+    gate_az_deg: float = 10.0
+    max_frame_gap: int = 3
+    max_tracks: int = 256
+
+    def gate_r(self, cluster: ClusterParams) -> float:
+        return cluster.max_range_sep * self.k
+
+    def gate_v(self, cluster: ClusterParams) -> float:
+        return cluster.max_vel_sep * self.k
+
+    def gate_el(self, cluster: ClusterParams) -> float:
+        return cluster.max_angle_sep * self.k
+
+
+@dataclasses.dataclass(frozen=True)
+class InterpParams:
+    """Spline peak-refinement parameters (reference
+    fun_process_single_frame.m:237)."""
+
+    extra_dots: int = 2
+    r_interp_times: int = 8
+    v_interp_times: int = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class CorrectedAngles:
+    """Site-calibration offsets of the real-data path
+    (main_test_with_simulated_data.m:19-22,72-73)."""
+
+    north_deg: float = -242.0
+    fix_angle_deg: float = 35.0
+    elevation_setting_deg: float = -10.3
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingParams:
+    """Device-mesh layout for the distributed pipeline (no reference
+    counterpart — SURVEY.md section 2.3)."""
+
+    channel_shards: int = 1
+    cpi_shards: int = 1
+    range_shards: int = 1
+    data_shards: int = 1  # Monte-Carlo / frame batch axis
+
+
+@dataclasses.dataclass(frozen=True)
+class RadarConfig:
+    """Root config tree."""
+
+    sig: SigConfig = SigConfig()
+    array: ArrayConfig = ArrayConfig()
+    scan: ScanConfig = ScanConfig()
+    cfar: CfarParams = CfarParams()
+    cfar1d: Cfar1DParams = Cfar1DParams()
+    cluster: ClusterParams = ClusterParams()
+    inter_frame: InterFrameParams = InterFrameParams()
+    interp: InterpParams = InterpParams()
+    corrected: CorrectedAngles = CorrectedAngles()
+    sharding: ShardingParams = ShardingParams()
+    # DBF convention: "v8" = x @ W^H (fun_process_single_frame.m:95);
+    # "v7_7" = x @ fliplr(W).T (main_simulate_echoes_with_array_v7_7.m:341)
+    dbf_variant: str = "v8"
+    # MTD FFT length: None = prt_num (v8); 512 = zero-padded (v7_7:150)
+    mtd_fft_len: int | None = None
+    # Monopulse ratio on |RDM| (v8, fun_process_single_frame.m:282-285) or on
+    # the complex RDM values (v7_6, main_plot_snr_vs_angle_error.m:455-458)
+    monopulse_complex: bool = False
+
+    def replace(self, **kw) -> "RadarConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def small_test_config(
+    channels: int = 8,
+    pulses: int = 32,
+    beams: int | None = None,
+    max_detections: int = 128,
+) -> RadarConfig:
+    """CPU-checkable shrunk config (BASELINE.json config 1: single target,
+    8-element array, 32 pulses). Keeps the waveform timing identical but
+    shrinks channels/pulses/beams so every stage runs fast under jit on CPU.
+    """
+    sig = SigConfig(prt_num=pulses, channel_num=channels,
+                    beam_num=beams if beams is not None else channels - 3)
+    return RadarConfig(
+        sig=sig,
+        array=ArrayConfig(num_elements=channels),
+        cfar=CfarParams(ref_cells_v=3, guard_cells_v=4, ref_cells_r=5,
+                        guard_cells_r=10, max_detections=max_detections),
+    )
+
+
+def full_config() -> RadarConfig:
+    """The reference's full problem size: 332 pulses x 5819 samples x 16
+    channels -> 332 x 3404 x 13 RDMs (v8_3:71-84)."""
+    return RadarConfig()
+
+
+def scaled_config(channels: int = 64, pulses: int = 256) -> RadarConfig:
+    """BASELINE.json config 3: 64-element x 256-pulse frames."""
+    sig = SigConfig(prt_num=pulses, channel_num=channels, beam_num=13)
+    return RadarConfig(sig=sig, array=ArrayConfig(num_elements=channels))

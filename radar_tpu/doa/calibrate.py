@@ -1,0 +1,66 @@
+"""Monopulse-slope calibration and beam-pattern utilities.
+
+Host-side (numpy) reimplementation of the reference's offline calibration
+tools, generalized to any DBF weight bank:
+
+  - ``beam_patterns``: steering-vector sweep -> per-beam pattern and peak
+    pointing angle (plot_beam_patterns.m:42-95 — note that script's fc=9500MHz
+    quirk is NOT reproduced; the framework evaluates patterns at the config's
+    own carrier unless told otherwise).
+  - ``calibrate_k_slopes``: for each adjacent beam pair, scan the crossover
+    region, form the amplitude monopulse ratio (A-B)/(A+B) and linear-fit
+    ratio -> angle offset around the crossover to get the slope K
+    (calibrate_all_monopulse_slopes.m:35-90).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .steering import steering_vector
+
+
+def beam_patterns(dbf_w: np.ndarray, element_spacing: float, wavelength: float,
+                  scan_deg: np.ndarray | None = None):
+    """Returns (scan_deg, patterns [B, len(scan)], peak_angles_deg [B]).
+
+    patterns are linear magnitude of w_b . S(theta).
+    """
+    if scan_deg is None:
+        scan_deg = np.arange(-90.0, 100.0 + 1e-9, 0.1)
+    num_elements = dbf_w.shape[1]
+    s = steering_vector(scan_deg, num_elements, element_spacing, wavelength)
+    resp = np.abs(dbf_w.conj() @ s)  # [B, G]
+    peaks = scan_deg[np.argmax(resp, axis=1)]
+    return scan_deg, resp, peaks
+
+
+def calibrate_k_slopes(dbf_w: np.ndarray, beam_angles_deg: np.ndarray,
+                       element_spacing: float, wavelength: float,
+                       num_scan: int = 501, fit_half_width: int = 5
+                       ) -> np.ndarray:
+    """Monopulse slope K per adjacent beam pair, [B-1].
+
+    For pair p the crossover is the midpoint of the two pointing angles; the
+    scan spans +/- half the beam separation around it. The slope is the
+    linear-fit coefficient of (angle - crossover) against the real monopulse
+    ratio over ``2*fit_half_width+1`` samples centered on the crossover
+    (calibrate_all_monopulse_slopes.m:50-72).
+    """
+    beam_angles_deg = np.asarray(beam_angles_deg, np.float64)
+    num_beams, num_elements = dbf_w.shape
+    ks = np.zeros(num_beams - 1)
+    for p in range(num_beams - 1):
+        a0, a1 = beam_angles_deg[p], beam_angles_deg[p + 1]
+        mid = 0.5 * (a0 + a1)
+        sep = abs(a1 - a0)
+        scan = np.linspace(mid - sep / 2, mid + sep / 2, num_scan)
+        s = steering_vector(scan, num_elements, element_spacing, wavelength)
+        ra = np.abs(dbf_w[p].conj() @ s)
+        rb = np.abs(dbf_w[p + 1].conj() @ s)
+        ratio = (ra - rb) / (ra + rb + np.finfo(np.float64).eps)
+        c = num_scan // 2
+        lo, hi = c - fit_half_width, c + fit_half_width + 1
+        coeff = np.polyfit(ratio[lo:hi], scan[lo:hi] - mid, 1)
+        ks[p] = coeff[0]
+    return ks

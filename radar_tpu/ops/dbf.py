@@ -1,0 +1,36 @@
+"""Digital beamforming (SURVEY.md L4, component "DBF").
+
+One batched complex matmul on the MXU: the reference's per-pulse loop
+``single_pulse_16ch * DBF_coeffs' `` (fun_process_single_frame.m:93-97)
+collapses to a single einsum over the whole [pulses, samples, channels] cube.
+
+Two channel-order/conjugation conventions exist in the reference and are
+exposed as variants (SURVEY.md section 2.1 "DBF"):
+  - "v8":   y[s,b] = sum_c x[s,c] * conj(W[b,c])      (x @ W'), the current
+            path (fun_process_single_frame.m:95)
+  - "v7_7": y[s,b] = sum_c x[s,c] * fliplr(W)[b,c]    (x @ fliplr(W).'),
+            (main_simulate_echoes_with_array_v7_7.m:341,346)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def dbf_weights_effective(w: jnp.ndarray, variant: str = "v8") -> jnp.ndarray:
+    """Effective weight matrix M [beams, channels] such that
+    ``y = einsum('...c,bc->...b', x, M)`` reproduces the chosen variant."""
+    if variant == "v8":
+        return jnp.conj(w)
+    if variant == "v7_7":
+        return jnp.flip(w, axis=1)
+    raise ValueError(f"unknown DBF variant: {variant}")
+
+
+def dbf(raw_iq: jnp.ndarray, w: jnp.ndarray,
+        variant: str = "v8") -> jnp.ndarray:
+    """[pulses, samples, channels] x [beams, channels] -> [pulses, samples,
+    beams]."""
+    m = dbf_weights_effective(w.astype(raw_iq.dtype), variant)
+    return jnp.einsum("psc,bc->psb", raw_iq, m,
+                      preferred_element_type=raw_iq.dtype)

@@ -1,0 +1,143 @@
+"""Segmented pulse compression (SURVEY.md L4, component "Pulse compression").
+
+The reference (fun_process_single_frame.m:99-127) processes three range
+segments independently and splices them into ``n_total_gate`` gates:
+
+  - narrow simple pulse: 35-tap real FIR run causally along fast time, then
+    advanced by the filter group delay (ref :111-112); gates [0, 228)
+  - medium LFM: matched filter fliplr(conj(pulse*kaiser(4.5))) applied as
+    FFT-domain fast convolution (ref :114-116); gates [228, 951)
+  - long LFM: same with the long matched filter (ref :118-120); gates
+    [951, 3404)
+
+Each segment's output is indexed with *global gate indices* into that
+segment's own causal-convolution output (ref :123-126) — a reference
+convention preserved exactly.
+
+TPU-first formulation: all (pulse, beam) rows are batched into single rFFT-
+sized complex FFTs; segments are pre-trimmed to the minimal sample span that
+influences their spliced gates (linear-convolution values are independent of
+FFT length, so trimming changes nothing numerically while cutting FFT cost;
+the reference's 2^nextpow2 full-segment sizes are available via
+``trim=False`` for bit-parity experiments).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.signal import next_pow2
+
+
+class PCPlan(NamedTuple):
+    """Static splice/FFT plan derived from Precomputed (host side)."""
+
+    seg_start_narrow: int
+    seg_start_medium: int
+    seg_start_long: int
+    fir_delay: int
+    n_taps: int
+    n_mf_med: int
+    n_mf_long: int
+    gate_narrow_end: int     # 228
+    gate_medium_end: int     # 951
+    n_total_gate: int        # 3404
+    # trimmed segment lengths and FFT sizes
+    narrow_len: int
+    med_len: int
+    long_len: int
+    nfft_narrow: int
+    nfft_med: int
+    nfft_long: int
+
+
+def make_plan(precomp, trim: bool = True) -> PCPlan:
+    g1, g2, g3 = precomp.gate_splits
+    gate_narrow_end = g1
+    gate_medium_end = g1 + g2
+    n_total = precomp.n_total_gate
+    n_taps = len(precomp.mf_narrow)
+    n_mf_med = len(precomp.mf_medium_win)
+    n_mf_long = len(precomp.mf_long_win)
+    full_med = precomp.n_fft_med // 1  # reference sizes
+    full_long = precomp.n_fft_long
+    # minimal spans: causal conv output col n depends on inputs [0, n]
+    narrow_len = gate_narrow_end + precomp.fir_delay
+    med_len = gate_medium_end if trim else None
+    long_len = n_total if trim else None
+    # (untrimmed = full remaining PRT; caller passes sample count)
+    return PCPlan(
+        seg_start_narrow=precomp.seg_start_narrow,
+        seg_start_medium=precomp.seg_start_medium,
+        seg_start_long=precomp.seg_start_long,
+        fir_delay=precomp.fir_delay,
+        n_taps=n_taps,
+        n_mf_med=n_mf_med,
+        n_mf_long=n_mf_long,
+        gate_narrow_end=gate_narrow_end,
+        gate_medium_end=gate_medium_end,
+        n_total_gate=n_total,
+        narrow_len=narrow_len,
+        med_len=med_len if trim else -1,
+        long_len=long_len if trim else -1,
+        nfft_narrow=next_pow2(narrow_len + n_taps - 1),
+        nfft_med=(next_pow2(gate_medium_end + n_mf_med - 1)
+                  if trim else full_med),
+        nfft_long=(next_pow2(n_total + n_mf_long - 1)
+                   if trim else full_long),
+    )
+
+
+def _fft_causal_conv(x: jnp.ndarray, h: jnp.ndarray, nfft: int,
+                     out_slice: slice) -> jnp.ndarray:
+    """Causal linear convolution of x (last axis) with filter h via FFT,
+    returning output columns ``out_slice``. Output col n = sum_k h[k]*x[n-k].
+    """
+    xf = jnp.fft.fft(x, n=nfft, axis=-1)
+    hf = jnp.fft.fft(h, n=nfft)
+    y = jnp.fft.ifft(xf * hf, n=nfft, axis=-1)
+    return y[..., out_slice]
+
+
+def pulse_compress(iq_beams: jnp.ndarray, precomp, plan: PCPlan | None = None,
+                   trim: bool = True) -> jnp.ndarray:
+    """[pulses, samples, beams] -> [pulses, n_total_gate, beams]."""
+    if plan is None:
+        plan = make_plan(precomp, trim=trim)
+    dtype = iq_beams.dtype
+    num_samples = iq_beams.shape[1]
+
+    # move fast time last for batched row FFTs: [P, B, S]
+    x = jnp.swapaxes(iq_beams, 1, 2)
+
+    # --- narrow: causal FIR + group-delay advance -> gates [0, g1)
+    n_end = plan.narrow_len + plan.n_taps  # small safety margin
+    seg_n = x[..., plan.seg_start_narrow:plan.seg_start_narrow + n_end]
+    h_n = jnp.asarray(precomp.mf_narrow, dtype)
+    piece1 = _fft_causal_conv(
+        seg_n, h_n, plan.nfft_narrow,
+        slice(plan.fir_delay, plan.fir_delay + plan.gate_narrow_end))
+
+    # --- medium LFM: FFT matched filter -> gates [g1, g1+g2)
+    med_stop = (plan.seg_start_medium + plan.med_len
+                if plan.med_len > 0 else num_samples)
+    seg_m = x[..., plan.seg_start_medium:med_stop]
+    h_m = jnp.asarray(precomp.mf_medium_win, dtype)
+    piece2 = _fft_causal_conv(
+        seg_m, h_m, plan.nfft_med,
+        slice(plan.gate_narrow_end, plan.gate_medium_end))
+
+    # --- long LFM -> gates [g1+g2, n_total)
+    long_stop = (plan.seg_start_long + plan.long_len
+                 if plan.long_len > 0 else num_samples)
+    seg_l = x[..., plan.seg_start_long:long_stop]
+    h_l = jnp.asarray(precomp.mf_long_win, dtype)
+    piece3 = _fft_causal_conv(
+        seg_l, h_l, plan.nfft_long,
+        slice(plan.gate_medium_end, plan.n_total_gate))
+
+    pc = jnp.concatenate([piece1, piece2, piece3], axis=-1)
+    return jnp.swapaxes(pc, 1, 2).astype(dtype)

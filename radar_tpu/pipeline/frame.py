@@ -1,0 +1,137 @@
+"""Single-frame processing pipeline (the reference's
+``fun_process_single_frame``, SURVEY.md section 3.2), end-to-end under one
+jit:
+
+  echo synthesis -> AWGN -> DBF -> segmented pulse compression -> MTD ->
+  2D GOCA-CFAR -> spline/monopulse parameter estimation -> intra-beam
+  clustering -> inter-beam clustering
+
+``make_frame_processor`` closes over all derived constants (waveform, matched
+filters, DBF bank, axes, spline stencils) so the compiled program embeds them
+as XLA constants; the only runtime inputs are the PRNG key and the per-frame
+target state arrays — the host/device boundary sits exactly between scenario
+evolution (host, sim/scenario.py) and this function (device), per SURVEY.md
+section 3.1.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cluster.stages import ClusteredTargets, cluster_stage1, cluster_stage2
+from ..config.params import RadarConfig
+from ..measure.estimate import ParamDetections, estimate_parameters
+from ..ops.cfar import (Detections, extract_detections, goca_cfar_2d,
+                        pair_sum_maps)
+from ..ops.dbf import dbf
+from ..ops.mtd import mtd
+from ..ops.pulse_compression import make_plan, pulse_compress
+from ..sim.echo import add_noise, synthesize_echoes
+from ..sim.scenario import TargetBatch
+from ..waveform.precompute import Precomputed, precompute
+
+
+class MeasureConsts(NamedTuple):
+    """Device-side constants consumed by measure/estimate.py."""
+
+    range_axis: jnp.ndarray
+    velocity_axis: jnp.ndarray
+    delta_r: float
+    delta_v: float
+    beam_angles_deg: jnp.ndarray
+    k_slopes_lut: jnp.ndarray
+    q_range: jnp.ndarray
+    q_vel: jnp.ndarray
+
+
+class FrameResult(NamedTuple):
+    """Final per-frame output (ref ``final_targets``) plus diagnostics."""
+
+    targets: ClusteredTargets
+    num_raw_detections: jnp.ndarray   # int32 (true count, may exceed capacity)
+    num_final: jnp.ndarray            # int32
+
+
+class FrameIntermediates(NamedTuple):
+    """Optional stage taps for debug harnesses / golden tests (the formalized
+    version of debug_simulated_data_processing.m's stage checklist)."""
+
+    raw_iq: jnp.ndarray
+    beams: jnp.ndarray
+    pc: jnp.ndarray
+    rdm: jnp.ndarray
+    pair_maps: jnp.ndarray
+    detections: Detections
+    params: ParamDetections
+    stage1: ClusteredTargets
+    result: FrameResult
+
+
+def measure_consts(cfg: RadarConfig, precomp: Precomputed,
+                   real_dtype) -> MeasureConsts:
+    n_dop = cfg.mtd_fft_len or cfg.sig.prt_num
+    if n_dop == cfg.sig.prt_num:
+        vel_axis = precomp.velocity_axis
+        delta_v = precomp.delta_v
+    else:
+        # zero-padded MTD variant (v7_7:150): axis respans the same ambiguity
+        # window over n_dop bins
+        v_max = cfg.sig.v_max
+        vel_axis = np.linspace(-v_max / 2, v_max / 2, n_dop)
+        delta_v = v_max / n_dop
+    return MeasureConsts(
+        range_axis=jnp.asarray(precomp.range_axis, real_dtype),
+        velocity_axis=jnp.asarray(vel_axis, real_dtype),
+        delta_r=float(precomp.delta_r),
+        delta_v=float(delta_v),
+        beam_angles_deg=jnp.asarray(precomp.beam_angles_deg, real_dtype),
+        k_slopes_lut=jnp.asarray(precomp.k_slopes_lut, real_dtype),
+        q_range=jnp.asarray(precomp.q_range, real_dtype),
+        q_vel=jnp.asarray(precomp.q_vel, real_dtype),
+    )
+
+
+def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
+                         dtype=jnp.complex64, return_intermediates=False,
+                         jit: bool = True):
+    """Build the jitted frame processor.
+
+    Returns ``process(key, targets: TargetBatch) -> FrameResult`` (or
+    ``FrameIntermediates`` when ``return_intermediates``)."""
+    if precomp is None:
+        precomp = precompute(cfg)
+    plan = make_plan(precomp)
+    real_dtype = jnp.finfo(dtype).dtype
+    dbf_w = jnp.asarray(precomp.dbf_w)
+    mtd_win = jnp.asarray(precomp.mtd_win, real_dtype)
+    mc = measure_consts(cfg, precomp, real_dtype)
+    ip = cfg.interp
+
+    def process(key, targets: TargetBatch):
+        raw = synthesize_echoes(targets, precomp, cfg, dtype=dtype)
+        noisy = add_noise(key, raw)
+        beams = dbf(noisy, dbf_w, cfg.dbf_variant)
+        pc = pulse_compress(beams, precomp, plan)
+        rdm = mtd(pc, mtd_win, cfg.mtd_fft_len)
+        maps = pair_sum_maps(rdm)
+        mask, _ = goca_cfar_2d(maps, cfg.cfar)
+        dets = extract_detections(mask, maps, cfg.cfar.max_detections)
+        params = estimate_parameters(
+            dets, maps, rdm, mc, ip.extra_dots, ip.r_interp_times,
+            ip.v_interp_times, monopulse_complex=cfg.monopulse_complex)
+        s1 = cluster_stage1(params, cfg.cluster)
+        final = cluster_stage2(s1, cfg.cluster)
+        result = FrameResult(targets=final, num_raw_detections=dets.count,
+                             num_final=final.count.astype(jnp.int32))
+        if return_intermediates:
+            return FrameIntermediates(raw_iq=noisy, beams=beams, pc=pc,
+                                      rdm=rdm, pair_maps=maps,
+                                      detections=dets, params=params,
+                                      stage1=s1, result=result)
+        return result
+
+    return jax.jit(process) if jit else process

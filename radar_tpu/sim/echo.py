@@ -1,0 +1,104 @@
+"""Device-side 16..128-channel echo synthesis (SURVEY.md L3 device part).
+
+TPU-first reformulation of the reference's triple loop
+(fun_process_single_frame.m:45-88): instead of ``for m in pulses: for k in
+targets: place pulse, phase, outer-product``, the whole raw-IQ cube is one
+einsum over precomputed per-target factor vectors:
+
+  raw[p, s, c] = sum_k  amp_k * dop_k[p] * base_k[s] * steer_k[c]
+
+with
+  base_k  = tx_pulse delayed by round(2R/c*fs) samples, zero-fill at the
+            front, no wraparound (ref :66-69)
+  dop_k   = exp(+j*2*pi*(2V/lambda)*p*PRT)                  (ref :57-58)
+  amp_k   = sqrt(SNR_lin * P_noise / P_signal_unscaled)     (ref :61-63)
+  steer_k = exp(+j*c_idx*2*pi*d*sin(El)/lambda)             (ref :71-74,163-169)
+
+Complex AWGN with per-rail variance P_noise/2 is added over the full cube
+from a single PRNG key folded per frame; JAX's counter-based RNG guarantees
+the cross-channel independence the reference secures by per-channel randn
+loops (ref :81-88; SURVEY.md section 5.2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config.params import RadarConfig
+
+P_NOISE_FLOOR = 1.0  # reference v8 noise floor (fun_process_single_frame.m:16)
+
+
+@partial(jax.jit, static_argnames=("num_pulses", "num_channels",
+                                   "element_spacing", "wavelength", "prt",
+                                   "fs", "c", "p_signal_unscaled", "dtype"))
+def _synthesize(range_m, velocity_ms, elevation_deg, snr_db, tx_pulse,
+                num_pulses: int, num_channels: int, element_spacing: float,
+                wavelength: float, prt: float, fs: float, c: float,
+                p_signal_unscaled: float, dtype):
+    num_samples = tx_pulse.shape[0]
+    real_dtype = jnp.finfo(dtype).dtype
+
+    delay_s = 2.0 * range_m / c
+    delay_samples = jnp.round(delay_s * fs).astype(jnp.int32)  # [K]
+
+    # delayed base pulse per target: roll + front mask (no wraparound; the
+    # tx tail is zero so the rolled-in tail is zero whenever the reference's
+    # truncation would apply)
+    sample_idx = jnp.arange(num_samples)
+    rolled = jax.vmap(lambda d: jnp.roll(tx_pulse, d))(delay_samples)  # [K,S]
+    valid_delay = (delay_samples > 0) & (delay_samples < num_samples)
+    mask = (sample_idx[None, :] >= delay_samples[:, None]) & valid_delay[:, None]
+    base = jnp.where(mask, rolled, 0.0).astype(dtype)
+
+    # slow-time Doppler phasor per target
+    doppler_freq = 2.0 * velocity_ms / wavelength  # [K]
+    m = jnp.arange(num_pulses, dtype=real_dtype)
+    dop = jnp.exp(1j * (2.0 * jnp.pi * prt)
+                  * doppler_freq[:, None].astype(real_dtype) * m[None, :]
+                  ).astype(dtype)  # [K,P]
+
+    # SNR-referenced amplitude vs the unit noise floor
+    snr_lin = 10.0 ** (snr_db / 10.0)
+    amp = jnp.sqrt(snr_lin * P_NOISE_FLOOR / p_signal_unscaled)  # [K]
+
+    # channel steering phasors
+    el = jnp.deg2rad(elevation_deg)  # [K]
+    dphi = (2.0 * jnp.pi * element_spacing * jnp.sin(el) / wavelength)
+    n = jnp.arange(num_channels, dtype=real_dtype)
+    steer = jnp.exp(1j * dphi[:, None].astype(real_dtype) * n[None, :]
+                    ).astype(dtype)  # [K,C]
+
+    dop_amp = dop * amp[:, None].astype(dtype)
+    return jnp.einsum("kp,ks,kc->psc", dop_amp, base, steer,
+                      preferred_element_type=dtype)
+
+
+def synthesize_echoes(targets, precomp, cfg: RadarConfig,
+                      dtype=jnp.complex64):
+    """Raw IQ cube [prt_num, point_prt, channel_num] for one frame."""
+    sig = cfg.sig
+    tx = jnp.asarray(precomp.tx_pulse, dtype)
+    return _synthesize(
+        jnp.asarray(targets.range_m), jnp.asarray(targets.velocity_ms),
+        jnp.asarray(targets.elevation_deg), jnp.asarray(targets.snr_db),
+        tx, num_pulses=sig.prt_num, num_channels=sig.channel_num,
+        element_spacing=cfg.array.element_spacing, wavelength=sig.wavelength,
+        prt=sig.prt, fs=sig.fs, c=sig.c,
+        p_signal_unscaled=precomp.p_signal_unscaled, dtype=dtype)
+
+
+def add_noise(key: jax.Array, raw_iq: jax.Array,
+              p_noise: float = P_NOISE_FLOOR) -> jax.Array:
+    """Independent complex AWGN on every (pulse, sample, channel) cell,
+    sqrt(p_noise/2) per rail (fun_process_single_frame.m:81-88)."""
+    dtype = raw_iq.dtype
+    real_dtype = jnp.finfo(dtype).dtype
+    shape = raw_iq.shape + (2,)
+    g = jax.random.normal(key, shape, dtype=real_dtype)
+    noise = (g[..., 0] + 1j * g[..., 1]) * jnp.sqrt(
+        jnp.asarray(p_noise / 2.0, real_dtype))
+    return raw_iq + noise.astype(dtype)
