@@ -1,0 +1,89 @@
+"""CFAR detector parity: cell-exact masks vs the per-cell-loop oracle (the
+NumPy port of fun_run_goca_cfar_8, SURVEY.md section 7.3 step 4), plus
+fixed-capacity detection extraction semantics."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radar_tpu.config.params import CfarParams
+from radar_tpu.ops.cfar import (extract_detections, goca_cfar_2d,
+                                pair_sum_maps)
+from oracle import goca_cfar_oracle
+
+
+def _planted_maps(rng, num_v=48, num_r=96, pairs=3, n_peaks=6):
+    maps = rng.exponential(scale=1.0, size=(num_v, num_r, pairs))
+    for _ in range(n_peaks):
+        v = rng.integers(8, num_v - 8)
+        r = rng.integers(16, num_r - 16)
+        p = rng.integers(0, pairs)
+        maps[v, r, p] += rng.uniform(30, 100)
+    return maps
+
+
+@pytest.mark.parametrize("method", ["GOCA", "SOCA", "CA"])
+def test_cfar_mask_cell_exact(method):
+    rng = np.random.default_rng(11)
+    maps = _planted_maps(rng)
+    params = CfarParams(ref_cells_v=3, guard_cells_v=4, ref_cells_r=5,
+                        guard_cells_r=10, threshold_factor=8.0, method=method)
+    mask, _ = goca_cfar_2d(jnp.asarray(maps), params)
+    want = goca_cfar_oracle(maps, params.ref_cells_r, params.guard_cells_r,
+                            params.ref_cells_v, params.guard_cells_v,
+                            params.threshold_factor, method)
+    np.testing.assert_array_equal(np.asarray(mask), want)
+    assert want.sum() > 0  # the planted peaks are detected
+
+
+def test_cfar_border_cells_never_detect():
+    params = CfarParams(ref_cells_v=3, guard_cells_v=4, ref_cells_r=5,
+                        guard_cells_r=10)
+    maps = np.zeros((40, 80, 1))
+    maps[2, 3, 0] = 1e9     # inside the border zone
+    maps[39, 79, 0] = 1e9
+    mask, _ = goca_cfar_2d(jnp.asarray(maps), params)
+    assert not bool(np.asarray(mask).any())
+
+
+def test_pair_sum_maps():
+    rng = np.random.default_rng(5)
+    rdm = rng.normal(size=(8, 10, 4)) + 1j * rng.normal(size=(8, 10, 4))
+    maps = np.asarray(pair_sum_maps(jnp.asarray(rdm)))
+    assert maps.shape == (8, 10, 3)
+    np.testing.assert_allclose(maps[..., 1],
+                               np.abs(rdm[..., 1]) + np.abs(rdm[..., 2]),
+                               rtol=1e-12)
+
+
+def test_extract_detections_order_and_capacity():
+    """Extraction order is (pair, range, velocity)-major — MATLAB's
+    column-major find per pair (ref :215-221) — and capacity clipping keeps
+    the earliest entries with the true count reported."""
+    num_v, num_r, pairs = 8, 10, 2
+    mask = np.zeros((num_v, num_r, pairs), bool)
+    maps = np.arange(num_v * num_r * pairs, dtype=float).reshape(
+        num_v, num_r, pairs)
+    hits = [(3, 2, 0), (5, 2, 0), (1, 7, 0), (2, 1, 1)]
+    for v, r, p in hits:
+        mask[v, r, p] = True
+    dets = extract_detections(jnp.asarray(mask), jnp.asarray(maps),
+                              capacity=8)
+    got = [(int(v), int(r), int(p)) for v, r, p, ok in zip(
+        dets.v_idx, dets.r_idx, dets.pair_idx, dets.valid) if ok]
+    # sorted by (pair, r, v)
+    assert got == sorted(hits, key=lambda t: (t[2], t[1], t[0]))
+    assert int(dets.count) == 4
+    for v, r, p in got:
+        pass
+    amps = np.asarray(dets.amp)[np.asarray(dets.valid)]
+    np.testing.assert_allclose(
+        amps, [maps[v, r, p] for v, r, p in got], rtol=1e-12)
+
+    # capacity clipping: keep first 2 in order, count still 4
+    dets2 = extract_detections(jnp.asarray(mask), jnp.asarray(maps),
+                               capacity=2)
+    got2 = [(int(v), int(r), int(p)) for v, r, p, ok in zip(
+        dets2.v_idx, dets2.r_idx, dets2.pair_idx, dets2.valid) if ok]
+    assert got2 == sorted(hits, key=lambda t: (t[2], t[1], t[0]))[:2]
+    assert int(dets2.count) == 4

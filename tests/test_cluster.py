@@ -1,0 +1,100 @@
+"""Clustering parity: masked label-propagation components vs BFS oracle;
+stage-1 weighted merge and stage-2 winner-take-all semantics
+(fun_process_single_frame.m:302-407)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from oracle import cluster_bfs_oracle
+from radar_tpu.cluster.connected import (connected_components_np,
+                                         connected_labels, gate_adjacency)
+from radar_tpu.cluster.stages import cluster_stage1, cluster_stage2
+from radar_tpu.config.params import ClusterParams
+from radar_tpu.measure.estimate import ParamDetections
+
+
+def _same_partition(labels_a, labels_b, valid):
+    """Two labelings describe the same partition of the valid slots."""
+    la = np.asarray(labels_a)[valid]
+    lb = np.asarray(labels_b)[valid]
+    pairs_a = la[:, None] == la[None, :]
+    pairs_b = lb[:, None] == lb[None, :]
+    return np.array_equal(pairs_a, pairs_b)
+
+
+def test_connected_labels_random_vs_bfs():
+    rng = np.random.default_rng(21)
+    for trial in range(5):
+        n = 40
+        r = rng.uniform(0, 300, n)
+        v = rng.uniform(-10, 10, n)
+        valid = rng.uniform(size=n) < 0.8
+        adj = gate_adjacency([(jnp.asarray(r), 30.0), (jnp.asarray(v), 2.0)],
+                             jnp.asarray(valid))
+        labels = connected_labels(adj, jnp.asarray(valid))
+        # oracle on the valid subset
+        comp = cluster_bfs_oracle([(r[valid], 30.0), (v[valid], 2.0)])
+        full = np.full(n, -1)
+        full[valid] = comp
+        assert _same_partition(labels, full, valid)
+        # invalid slots labeled n
+        assert np.all(np.asarray(labels)[~valid] == n)
+
+
+def test_connected_components_np_matches_oracle():
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 100, 30)
+    adj = np.abs(x[:, None] - x[None, :]) <= 10.0
+    comp = connected_components_np(adj)
+    want = cluster_bfs_oracle([(x, 10.0)])
+    assert np.array_equal(comp, want)
+
+
+def _dets(r, v, a, p, valid=None):
+    n = len(r)
+    valid = np.ones(n, bool) if valid is None else np.asarray(valid)
+    f = lambda x: jnp.asarray(np.asarray(x, np.float64))
+    return ParamDetections(range_m=f(r), velocity_ms=f(v), angle_deg=f(a),
+                           power=f(p), pair_idx=jnp.zeros(n, jnp.int32),
+                           valid=jnp.asarray(valid))
+
+
+def test_stage1_weighted_merge():
+    # two clusters: {0,1} close in R/V/A, {2} far
+    dets = _dets([100.0, 110.0, 500.0], [5.0, 5.2, 5.0],
+                 [10.0, 11.0, 10.0], [1.0, 3.0, 2.0])
+    out = cluster_stage1(dets, ClusterParams())
+    valid = np.asarray(out.valid)
+    assert valid.sum() == 2
+    got_r = np.asarray(out.range_m)[valid]
+    got_p = np.asarray(out.power)[valid]
+    # power-weighted mean of cluster {0,1}: (100*1 + 110*3)/4
+    np.testing.assert_allclose(sorted(got_r), [107.5, 500.0])
+    np.testing.assert_allclose(sorted(got_p), [2.0, 4.0])
+
+
+def test_stage2_winner_take_all_ignores_angle():
+    # same (R,V) but very different angle -> still one cluster (stage 2
+    # clusters on R/V only, ref :377-381); winner = max power
+    from radar_tpu.cluster.stages import ClusteredTargets
+
+    t = ClusteredTargets(
+        range_m=jnp.asarray([100.0, 105.0]),
+        velocity_ms=jnp.asarray([5.0, 5.1]),
+        angle_deg=jnp.asarray([10.0, 40.0]),
+        power=jnp.asarray([1.0, 9.0]),
+        valid=jnp.asarray([True, True]))
+    out = cluster_stage2(t, ClusterParams())
+    valid = np.asarray(out.valid)
+    assert valid.sum() == 1
+    np.testing.assert_allclose(np.asarray(out.range_m)[valid], [105.0])
+    np.testing.assert_allclose(np.asarray(out.angle_deg)[valid], [40.0])
+    np.testing.assert_allclose(np.asarray(out.power)[valid], [9.0])
+
+
+def test_cluster_empty_input():
+    dets = _dets([0.0] * 4, [0.0] * 4, [0.0] * 4, [0.0] * 4,
+                 valid=[False] * 4)
+    out = cluster_stage2(cluster_stage1(dets, ClusterParams()),
+                         ClusterParams())
+    assert int(out.count) == 0
