@@ -1,0 +1,153 @@
+"""Multi-frame simulation driver + inter-frame track association
+(SURVEY.md L6/L9; reference main_simulate_echoes_with_array_v8_3.m).
+
+Host side owns the frame loop and scenario evolution (v8_3:200-248); each
+frame's device work is one call of the jitted frame processor. Final targets
+are accumulated into a cumulative detection log with the frame index and
+servo azimuth injected (v8_3:236-246), then associated into tracks by 5D BFS
+clustering (v8_3:253-335) with the reference's hybrid merge: winner-take-all
+(by power) for range/velocity/elevation/power, power-weighted mean azimuth,
+and First/Last frame + point-count statistics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import numpy as np
+
+from ..cluster.connected import connected_components_np
+from ..config.params import RadarConfig
+from ..sim.scenario import Scenario, TargetBatch
+from .frame import make_frame_processor
+
+
+@dataclasses.dataclass
+class DetectionLog:
+    """Cumulative final-target log (ref ``cumulative_final_log``);
+    struct-of-arrays, one row per final target per frame."""
+
+    range_m: np.ndarray
+    velocity_ms: np.ndarray
+    elevation_deg: np.ndarray
+    power: np.ndarray
+    frame: np.ndarray        # int, 1-based like the reference's iFrame
+    azimuth_deg: np.ndarray  # servo azimuth at that frame (iAntAngle)
+
+    @staticmethod
+    def empty() -> "DetectionLog":
+        z = np.zeros(0)
+        return DetectionLog(z, z, z, z, np.zeros(0, int), z)
+
+    def __len__(self) -> int:
+        return len(self.range_m)
+
+    def append_frame(self, result, frame_idx: int, azimuth_deg: float):
+        t = result.targets
+        valid = np.asarray(t.valid)
+        n = int(valid.sum())
+        self.range_m = np.concatenate(
+            [self.range_m, np.asarray(t.range_m)[valid]])
+        self.velocity_ms = np.concatenate(
+            [self.velocity_ms, np.asarray(t.velocity_ms)[valid]])
+        self.elevation_deg = np.concatenate(
+            [self.elevation_deg, np.asarray(t.angle_deg)[valid]])
+        self.power = np.concatenate([self.power, np.asarray(t.power)[valid]])
+        self.frame = np.concatenate([self.frame, np.full(n, frame_idx)])
+        self.azimuth_deg = np.concatenate(
+            [self.azimuth_deg, np.full(n, azimuth_deg)])
+
+
+class Track(NamedTuple):
+    """ref ``final_tracks_log`` entry (v8_3:310,327-334)."""
+
+    range_m: float
+    velocity_ms: float
+    elevation_deg: float
+    azimuth_deg: float
+    power: float
+    first_frame: int
+    last_frame: int
+    num_points: int
+    member_idx: np.ndarray   # log rows of this track (for plots/tests)
+
+
+def associate_tracks(log: DetectionLog, cfg: RadarConfig) -> list[Track]:
+    """5D BFS association over the cumulative log (v8_3:276-335)."""
+    n = len(log)
+    if n == 0:
+        return []
+    ifc = cfg.inter_frame
+    gates = [
+        (log.range_m, ifc.gate_r(cfg.cluster)),
+        (log.velocity_ms, ifc.gate_v(cfg.cluster)),
+        (log.azimuth_deg, ifc.gate_az_deg),
+        (log.elevation_deg, ifc.gate_el(cfg.cluster)),
+        (log.frame.astype(float), float(ifc.max_frame_gap)),
+    ]
+    adj = np.ones((n, n), dtype=bool)
+    for f, g in gates:
+        adj &= np.abs(f[:, None] - f[None, :]) <= g
+    comp = connected_components_np(adj)
+
+    tracks = []
+    for cid in range(comp.max() + 1):
+        m = np.nonzero(comp == cid)[0]
+        powers = log.power[m]
+        total = powers.sum()
+        w = int(np.argmax(powers))
+        tracks.append(Track(
+            range_m=float(log.range_m[m][w]),
+            velocity_ms=float(log.velocity_ms[m][w]),
+            elevation_deg=float(log.elevation_deg[m][w]),
+            azimuth_deg=float((log.azimuth_deg[m] * powers).sum() / total),
+            power=float(powers[w]),
+            first_frame=int(log.frame[m].min()),
+            last_frame=int(log.frame[m].max()),
+            num_points=len(m),
+            member_idx=m,
+        ))
+    return tracks
+
+
+def tracks_without_association(log: DetectionLog) -> list[Track]:
+    """inter_frame.enable=False passthrough (v8_3:337-352): one single-point
+    track per log row."""
+    return [Track(float(log.range_m[i]), float(log.velocity_ms[i]),
+                  float(log.elevation_deg[i]), float(log.azimuth_deg[i]),
+                  float(log.power[i]), int(log.frame[i]), int(log.frame[i]),
+                  1, np.array([i]))
+            for i in range(len(log))]
+
+
+def run_multiframe(cfg: RadarConfig, initial_targets: TargetBatch,
+                   num_frames: int, seed: int = 0, processor=None,
+                   precomp=None, dtype=None, progress: bool = False):
+    """Run the full multi-frame simulation; returns (log, tracks, scenario).
+
+    ``processor`` may be a pre-built jitted frame processor (reused across
+    runs to amortize compilation)."""
+    import jax.numpy as jnp
+
+    if processor is None:
+        processor = make_frame_processor(cfg, precomp,
+                                         dtype=dtype or jnp.complex64)
+    scen = Scenario.from_initial(initial_targets, cfg)
+    log = DetectionLog.empty()
+    key = jax.random.PRNGKey(seed)
+    for frame_idx in range(1, num_frames + 1):
+        targets = scen.step(cfg)
+        fkey = jax.random.fold_in(key, frame_idx)
+        result = jax.block_until_ready(processor(fkey, targets))
+        log.append_frame(result, frame_idx, scen.azimuth_deg)
+        if progress:
+            print(f"frame {frame_idx}/{num_frames}: "
+                  f"{int(result.num_final)} targets, az="
+                  f"{scen.azimuth_deg:.2f}")
+    if cfg.inter_frame.enable:
+        tracks = associate_tracks(log, cfg)
+    else:
+        tracks = tracks_without_association(log)
+    return log, tracks, scen

@@ -1,0 +1,141 @@
+"""Monte-Carlo SNR sweep: monopulse angle-error sigma and detection
+probability vs SNR (SURVEY.md section 3.3; reference
+main_plot_snr_vs_angle_error.m).
+
+The reference parallelizes trials with MATLAB ``parfor`` (its only parallel
+construct, ref :167); here trials are a vmapped batch axis over PRNG keys —
+the noiseless echo cube is synthesized once per SNR point and only the
+noise+processing chain is batched, so a whole trial batch is one device
+program (and shards over a data-parallel mesh axis, SURVEY.md section 2.3).
+
+Per trial the recorded statistic follows the reference (:269-278): the
+*first* final target's angle error vs truth, NaN when nothing is detected;
+per SNR point: std('omitnan') of the errors and Pd = detection fraction.
+The analytic reference bound is sigma = |k|*sqrt(2)/sqrt(SNR_lin) (:303-309).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.params import RadarConfig
+from ..sim.echo import add_noise, synthesize_echoes
+from ..sim.scenario import TargetBatch
+from ..waveform.precompute import Precomputed, precompute
+from .frame import make_frame_processor
+
+
+class SweepResult(NamedTuple):
+    snr_db: np.ndarray
+    angle_error_std: np.ndarray   # [n_snr] degrees, std over detected trials
+    detection_probability: np.ndarray
+    errors: np.ndarray            # [n_snr, trials] raw errors (NaN = miss)
+    theory_bound: np.ndarray      # |k|*sqrt(2)/sqrt(SNR_lin)
+
+
+def _first_valid_angle(result):
+    """Angle of the first valid final-target slot (the reference reads
+    final_targets(1), ref :271-274); NaN if none."""
+    t = result.targets
+    has = jnp.any(t.valid)
+    first = jnp.argmax(t.valid)  # first True
+    return jnp.where(has, t.angle_deg[first], jnp.nan), has
+
+
+def make_trial_fn(cfg: RadarConfig, precomp: Precomputed,
+                  dtype=jnp.complex64):
+    """Returns jitted ``trials(echo_cube, keys) -> (angles [T], hits [T])``
+    vmapping the noise + processing chain over trial keys."""
+    # reuse the frame pipeline minus echo synthesis
+    from ..cluster.stages import cluster_stage1, cluster_stage2
+    from ..measure.estimate import estimate_parameters
+    from ..ops.cfar import extract_detections, goca_cfar_2d, pair_sum_maps
+    from ..ops.dbf import dbf
+    from ..ops.mtd import mtd
+    from ..ops.pulse_compression import make_plan, pulse_compress
+    from .frame import FrameResult, measure_consts
+
+    plan = make_plan(precomp)
+    real_dtype = jnp.finfo(dtype).dtype
+    dbf_w = jnp.asarray(precomp.dbf_w)
+    mtd_win = jnp.asarray(precomp.mtd_win, real_dtype)
+    mc = measure_consts(cfg, precomp, real_dtype)
+    ip = cfg.interp
+
+    def one_trial(echo, key):
+        noisy = add_noise(key, echo)
+        beams = dbf(noisy, dbf_w, cfg.dbf_variant)
+        pc = pulse_compress(beams, precomp, plan)
+        rdm = mtd(pc, mtd_win, cfg.mtd_fft_len)
+        maps = pair_sum_maps(rdm)
+        mask, _ = goca_cfar_2d(maps, cfg.cfar)
+        dets = extract_detections(mask, maps, cfg.cfar.max_detections)
+        params = estimate_parameters(
+            dets, maps, rdm, mc, ip.extra_dots, ip.r_interp_times,
+            ip.v_interp_times, monopulse_complex=cfg.monopulse_complex)
+        s1 = cluster_stage1(params, cfg.cluster)
+        final = cluster_stage2(s1, cfg.cluster)
+        result = FrameResult(targets=final, num_raw_detections=dets.count,
+                             num_final=final.count.astype(jnp.int32))
+        return _first_valid_angle(result)
+
+    return jax.jit(jax.vmap(one_trial, in_axes=(None, 0)))
+
+
+def snr_sweep(cfg: RadarConfig, snr_db_vector=None, num_trials: int = 100,
+              truth: TargetBatch | None = None, true_pair_idx: int | None = None,
+              seed: int = 0, batch_size: int = 16, dtype=jnp.complex64,
+              precomp: Precomputed | None = None,
+              progress: bool = False) -> SweepResult:
+    """Run the sweep. Defaults mirror the reference: SNR -10..30 dB step 2,
+    truth target R=10 km, V=20 m/s, El=10 deg (beam pair index 5, 0-based)."""
+    if snr_db_vector is None:
+        snr_db_vector = np.arange(-10.0, 30.0 + 1e-9, 2.0)
+    snr_db_vector = np.asarray(snr_db_vector, np.float64)
+    if precomp is None:
+        precomp = precompute(cfg)
+    if truth is None:
+        truth = TargetBatch.make([10000.0], [20.0], [10.0], [0.0])
+    if true_pair_idx is None:
+        # pair whose beam interval contains the truth elevation
+        a = precomp.beam_angles_deg
+        true_pair_idx = int(np.clip(np.searchsorted(a, truth.elevation_deg[0])
+                                    - 1, 0, len(a) - 2))
+    k_slope = float(precomp.k_slopes_lut[true_pair_idx])
+
+    trials_fn = make_trial_fn(cfg, precomp, dtype)
+    key = jax.random.PRNGKey(seed)
+    errors = np.full((len(snr_db_vector), num_trials), np.nan)
+    for i, snr in enumerate(snr_db_vector):
+        tb = TargetBatch(truth.range_m, truth.velocity_ms,
+                         truth.elevation_deg,
+                         np.full_like(truth.range_m, snr))
+        echo = synthesize_echoes(tb, precomp, cfg, dtype=dtype)
+        skey = jax.random.fold_in(key, i)
+        done = 0
+        while done < num_trials:
+            nb = min(batch_size, num_trials - done)
+            keys = jax.random.split(jax.random.fold_in(skey, done), nb)
+            angles, hits = jax.block_until_ready(trials_fn(echo, keys))
+            angles = np.asarray(angles, np.float64)
+            hits = np.asarray(hits)
+            err = np.where(hits, angles - float(truth.elevation_deg[0]),
+                           np.nan)
+            errors[i, done:done + nb] = err
+            done += nb
+        if progress:
+            pd = np.mean(~np.isnan(errors[i]))
+            print(f"SNR {snr:+.0f} dB: Pd={pd:.2f} "
+                  f"sigma={np.nanstd(errors[i], ddof=1):.4f} deg")
+
+    with np.errstate(invalid="ignore"):
+        sigma = np.array([np.nanstd(e, ddof=1) if np.sum(~np.isnan(e)) > 1
+                          else np.nan for e in errors])
+    pd = np.mean(~np.isnan(errors), axis=1)
+    snr_lin = 10.0 ** (snr_db_vector / 10.0)
+    theory = np.abs(k_slope) * np.sqrt(2.0) / np.sqrt(snr_lin)
+    return SweepResult(snr_db_vector, sigma, pd, errors, theory)

@@ -1,0 +1,102 @@
+"""Multi-frame driver, kinematics, track association and Monte-Carlo
+behavior (SURVEY.md sections 3.1/3.3, 4.3)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from radar_tpu.config.params import small_test_config
+from radar_tpu.pipeline.driver import (DetectionLog, associate_tracks,
+                                       run_multiframe,
+                                       tracks_without_association)
+from radar_tpu.pipeline.montecarlo import snr_sweep
+from radar_tpu.sim.scenario import Scenario, TargetBatch
+from radar_tpu.waveform.precompute import precompute
+
+
+def test_kinematics_constant_altitude():
+    cfg = small_test_config()
+    tb = TargetBatch.make([3000.0], [20.0], [10.0], [10.0])
+    scen = Scenario.from_initial(tb, cfg)
+    h0 = scen.const_h.copy()
+    states = [scen.step(cfg) for _ in range(30)]
+    # altitude invariant: R*sin(El) == const_H at every step
+    for st in states:
+        np.testing.assert_allclose(
+            st.range_m * np.sin(np.deg2rad(st.elevation_deg)), h0,
+            rtol=1e-12)
+    # inbound target: range decreases, elevation increases
+    rs = np.array([s.range_m[0] for s in states])
+    els = np.array([s.elevation_deg[0] for s in states])
+    assert np.all(np.diff(rs) < 0)
+    assert np.all(np.diff(els) > 0)
+    # radial velocity = V_ground*cos(El) stays below ground speed
+    vs = np.array([s.velocity_ms[0] for s in states])
+    assert np.all(vs < scen.const_v_ground[0])
+    # azimuth advances rpm*6*T_frame deg/frame
+    expected = cfg.scan.deg_per_frame(cfg.sig)
+    assert expected > 0
+
+
+def test_multiframe_run_and_tracks():
+    cfg = small_test_config(channels=8, pulses=32)
+    tb = TargetBatch.make([3000.0], [15.0], [10.0], [18.0])
+    log, tracks, scen = run_multiframe(cfg, tb, num_frames=6, seed=0)
+    assert len(log) >= 5  # detected in (almost) every frame
+    assert len(tracks) >= 1
+    main = max(tracks, key=lambda t: t.num_points)
+    assert main.num_points >= 5
+    assert main.last_frame - main.first_frame >= 4
+    # winner range within gate of the truth trajectory (range decreases
+    # from 3000 by ~15 m/s * ~7.4 ms/frame * 6 frames -> barely moves)
+    assert abs(main.range_m - 3000.0) < 60.0
+    assert abs(main.velocity_ms - 15.0) < 3.0
+
+
+def test_track_association_splits_far_targets():
+    log = DetectionLog(
+        range_m=np.array([1000.0, 1010.0, 5000.0, 5005.0]),
+        velocity_ms=np.array([10.0, 10.1, -5.0, -5.1]),
+        elevation_deg=np.array([10.0, 10.2, 20.0, 20.1]),
+        power=np.array([1.0, 2.0, 3.0, 4.0]),
+        frame=np.array([1, 2, 1, 2]),
+        azimuth_deg=np.array([0.0, 0.3, 0.0, 0.3]),
+    )
+    cfg = small_test_config()
+    tracks = associate_tracks(log, cfg)
+    assert len(tracks) == 2
+    t = sorted(tracks, key=lambda t: t.range_m)
+    # winner-take-all by power: ranges from the higher-power member
+    np.testing.assert_allclose(t[0].range_m, 1010.0)
+    np.testing.assert_allclose(t[1].range_m, 5005.0)
+    # azimuth = power-weighted mean
+    np.testing.assert_allclose(t[0].azimuth_deg, (0.0 * 1 + 0.3 * 2) / 3)
+    assert t[0].num_points == 2 and t[1].num_points == 2
+    # frame-gap gate: same target reappearing 5 frames later is a new track
+    log.frame = np.array([1, 7, 1, 2])
+    tracks2 = associate_tracks(log, cfg)
+    assert len(tracks2) == 3
+    # passthrough mode
+    assert len(tracks_without_association(log)) == 4
+
+
+def test_monte_carlo_sweep_small():
+    cfg = small_test_config(channels=8, pulses=32)
+    pre = precompute(cfg)
+    truth = TargetBatch.make([3000.0], [10.0], [10.0], [0.0])
+    # the chain's integration gain (~47 dB here: 200-sample matched filter +
+    # 32-pulse MTD + 8-channel DBF) puts the Pd transition near -28 dB raw
+    # SNR; sample below, at, and far above it
+    res = snr_sweep(cfg, snr_db_vector=[-42.0, -28.0, 25.0], num_trials=12,
+                    truth=truth, seed=1, batch_size=6, precomp=pre)
+    # Pd monotone from ~0 to 1 across the SNR ladder
+    assert res.detection_probability[0] <= 0.3
+    assert res.detection_probability[-1] >= 0.9
+    assert res.detection_probability[-1] >= res.detection_probability[0]
+    # detected-trial angle errors shrink with SNR
+    assert np.isnan(res.angle_error_std[0]) or (
+        res.angle_error_std[0] >= res.angle_error_std[-1])
+    # high-SNR angle error is small (within a degree for pair-center target)
+    assert res.angle_error_std[-1] < 1.5
+    # theory bound array matches |k|sqrt(2)/sqrt(snr)
+    assert res.theory_bound.shape == (3,)
+    assert np.all(np.diff(res.theory_bound) < 0)
