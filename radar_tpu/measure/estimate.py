@@ -74,20 +74,26 @@ def estimate_parameters(dets: Detections, pair_maps: jnp.ndarray,
                         monopulse_complex: bool = False) -> ParamDetections:
     """dets: CFAR output; pair_maps: [V,G,pairs] real sum maps; rdm:
     [V,G,beams] complex; precomp_dev: DevicePrecomputed arrays."""
-    rx = precomp_dev.range_axis
-    vx = precomp_dev.velocity_axis
+    # consts may arrive as host numpy (embedded as XLA constants at trace
+    # time); coerce so tracer-indexed gathers work
+    rx = jnp.asarray(precomp_dev.range_axis)
+    vx = jnp.asarray(precomp_dev.velocity_axis)
+    k_lut = jnp.asarray(precomp_dev.k_slopes_lut)
+    ang = jnp.asarray(precomp_dev.beam_angles_deg)
     real_dtype = pair_maps.dtype
 
     st_r = _stencil_gather(pair_maps, dets.v_idx, dets.r_idx, dets.pair_idx,
                            extra_dots, "r")
-    off_r = _spline_peak_offset(st_r, precomp_dev.q_range.astype(real_dtype),
-                                r_times, extra_dots)
+    off_r = _spline_peak_offset(
+        st_r, jnp.asarray(precomp_dev.q_range, real_dtype), r_times,
+        extra_dots)
     est_range = rx[dets.r_idx] + off_r * precomp_dev.delta_r
 
     st_v = _stencil_gather(pair_maps, dets.v_idx, dets.r_idx, dets.pair_idx,
                            extra_dots, "v")
-    off_v = _spline_peak_offset(st_v, precomp_dev.q_vel.astype(real_dtype),
-                                v_times, extra_dots)
+    off_v = _spline_peak_offset(
+        st_v, jnp.asarray(precomp_dev.q_vel, real_dtype), v_times,
+        extra_dots)
     est_vel = vx[dets.v_idx] + off_v * precomp_dev.delta_v
 
     # monopulse at integer indices (reference flaw preserved)
@@ -97,8 +103,7 @@ def estimate_parameters(dets: Detections, pair_maps: jnp.ndarray,
         s_a, s_b = jnp.abs(s_a), jnp.abs(s_b)
     eps = jnp.finfo(real_dtype).eps
     ratio = (s_a - s_b) / (s_a + s_b + eps)
-    k = precomp_dev.k_slopes_lut[dets.pair_idx]
-    ang = precomp_dev.beam_angles_deg
+    k = k_lut[dets.pair_idx]
     mid = 0.5 * (ang[dets.pair_idx] + ang[dets.pair_idx + 1])
     est_angle = mid + k * jnp.real(ratio)
 

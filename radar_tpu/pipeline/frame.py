@@ -84,14 +84,14 @@ def measure_consts(cfg: RadarConfig, precomp: Precomputed,
         vel_axis = np.linspace(-v_max / 2, v_max / 2, n_dop)
         delta_v = v_max / n_dop
     return MeasureConsts(
-        range_axis=jnp.asarray(precomp.range_axis, real_dtype),
-        velocity_axis=jnp.asarray(vel_axis, real_dtype),
+        range_axis=np.asarray(precomp.range_axis, real_dtype),
+        velocity_axis=np.asarray(vel_axis, real_dtype),
         delta_r=float(precomp.delta_r),
         delta_v=float(delta_v),
-        beam_angles_deg=jnp.asarray(precomp.beam_angles_deg, real_dtype),
-        k_slopes_lut=jnp.asarray(precomp.k_slopes_lut, real_dtype),
-        q_range=jnp.asarray(precomp.q_range, real_dtype),
-        q_vel=jnp.asarray(precomp.q_vel, real_dtype),
+        beam_angles_deg=np.asarray(precomp.beam_angles_deg, real_dtype),
+        k_slopes_lut=np.asarray(precomp.k_slopes_lut, real_dtype),
+        q_range=np.asarray(precomp.q_range, real_dtype),
+        q_vel=np.asarray(precomp.q_vel, real_dtype),
     )
 
 
@@ -106,8 +106,11 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
         precomp = precompute(cfg)
     plan = make_plan(precomp)
     real_dtype = jnp.finfo(dtype).dtype
-    dbf_w = jnp.asarray(precomp.dbf_w)
-    mtd_win = jnp.asarray(precomp.mtd_win, real_dtype)
+    # host numpy constants: embedded at trace time (a device-
+    # resident closure constant would need a device->host readback
+    # during lowering, which tunnel TPU backends may not support)
+    dbf_w = np.asarray(precomp.dbf_w)
+    mtd_win = np.asarray(precomp.mtd_win, real_dtype)
     mc = measure_consts(cfg, precomp, real_dtype)
     ip = cfg.interp
 

@@ -61,8 +61,11 @@ def make_trial_fn(cfg: RadarConfig, precomp: Precomputed,
 
     plan = make_plan(precomp)
     real_dtype = jnp.finfo(dtype).dtype
-    dbf_w = jnp.asarray(precomp.dbf_w)
-    mtd_win = jnp.asarray(precomp.mtd_win, real_dtype)
+    # host numpy constants: embedded at trace time (a device-
+    # resident closure constant would need a device->host readback
+    # during lowering, which tunnel TPU backends may not support)
+    dbf_w = np.asarray(precomp.dbf_w)
+    mtd_win = np.asarray(precomp.mtd_win, real_dtype)
     mc = measure_consts(cfg, precomp, real_dtype)
     ip = cfg.interp
 
