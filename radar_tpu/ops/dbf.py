@@ -24,6 +24,10 @@ def dbf_weights_effective(w: jnp.ndarray, variant: str = "v8") -> jnp.ndarray:
         return jnp.conj(w)
     if variant == "v7_7":
         return jnp.flip(w, axis=1)
+    if variant == "realdata":
+        # real-data adapter: iq * W.' — plain transpose, no conjugation
+        # (main_test_with_simulated_data.m:210-214)
+        return jnp.asarray(w)
     raise ValueError(f"unknown DBF variant: {variant}")
 
 

@@ -1,0 +1,199 @@
+"""Staged real-data processing pipeline (SURVEY.md section 3.6; reference
+main_test_with_simulated_data.m + process_stage2_mtd.m).
+
+The reference's real-data adapter is a four-stage, checkpoint-heavy
+architecture whose stage-3/4 functions are missing from the repo; their
+behavior is reconstructed here from the call sites and the inline copies in
+debug_simulated_data_processing_v2.m (SURVEY.md section 2.4):
+
+  stage 1  per-pulse DBF with the transposed (non-conjugated) coefficient
+           matrix (main_test:210-214)
+  stage 2  per-beam PC + MTD + zero-velocity clutter suppression
+           (process_stage2_mtd.m:33-46 -> fun_MTD_produce inline copy,
+           debug_v2:259-405). NB the adapter calls a two-frame windowed
+           variant (iq1, iq2, win_size=4) that the committed
+           process_stage2_mtd.m does not implement (signature mismatch,
+           main_test:238 vs process_stage2_mtd.m:1); like the committed
+           version, this implementation processes one full-frame slice and
+           accepts (and ignores) a second frame.
+  stage 3  sum-beam detection: adjacent-pair |MTD| sums through the
+           segmented 1D CA-GO/SO CFAR (ops/cfar1d.py); returns the
+           preliminary detection log and per-pair CFAR flag cubes
+           (main_test:242, debug harness checklist)
+  stage 4  diff-beam measurement: spline range/velocity refinement +
+           amplitude monopulse with the per-frequency-point K table
+           (R9-DMX3-2024001_Angle_k.csv indexed by the frame header's
+           freq_no, main_test:219-221) and the site-corrected nominal beam
+           angles (beam_angles - ELeAngleSettingValue, main_test:72-73);
+           returns entries with fields range_m / velocity_ms / elevation_deg
+           (main_test:255-265)
+
+This path operates on already-gated 3404-sample IQ (point_PRT=3404 in the
+real-data config, main_test:52) — pulse compression is segment-local with
+'same'-aligned matched filters (peak at the echo's gate), unlike the sim
+path's full-PRT splice.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.params import RadarConfig
+from ..config import assets
+from ..measure.estimate import estimate_parameters
+from ..ops.cfar import Detections, extract_detections
+from ..ops.cfar1d import segmented_cfar_1d, zero_velocity_mask
+from ..ops.dbf import dbf
+from ..ops.mtd import mtd, zero_velocity_suppress
+from ..pipeline.frame import MeasureConsts
+from ..utils.signal import kaiser_window
+
+
+def realdata_beam_angles(cfg: RadarConfig) -> np.ndarray:
+    """Nominal beam angles minus the elevation setting correction
+    (main_test:72-73)."""
+    return (assets.BEAM_ANGLES_DEG_REALDATA
+            - cfg.corrected.elevation_setting_deg)
+
+
+def _segment_pulses(cfg: RadarConfig):
+    """The three reference pulses of the gated path: narrow sin pulse
+    (v1-style, sin(2*pi*t+pi/2), debug_v2:316), medium/long LFM."""
+    sig = cfg.sig
+    fs, (tau1, tau2, tau3) = sig.fs, sig.tau
+    ts = 1.0 / fs
+    t1 = np.arange(-tau1 / 2, tau1 / 2 - ts / 2, ts)
+    t2 = np.linspace(-tau2 / 2, tau2 / 2, round(tau2 * fs))
+    t3 = np.linspace(-tau3 / 2, tau3 / 2, round(tau3 * fs))
+    k2 = -sig.bandwidth / tau2
+    k3 = sig.bandwidth / tau3
+    p1 = np.sin(2 * np.pi * t1 + np.pi / 2).astype(np.complex128)
+    p2 = np.exp(1j * 2 * np.pi * 0.5 * k2 * t2**2)
+    p3 = np.exp(1j * 2 * np.pi * 0.5 * k3 * t3**2)
+    return p1, p2, p3
+
+
+def stage2_mtd(iq_beams: jnp.ndarray, cfg: RadarConfig,
+               iq_beams_2: jnp.ndarray | None = None,
+               suppress_zero_vel: bool = True
+               ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """PC + MTD per beam on gated [P, 3404, B] beam data; returns
+    (mtd_results, pc_results). A second frame is accepted for signature
+    parity with the adapter but ignored (see module docstring)."""
+    del iq_beams_2
+    sig = cfg.sig
+    dtype = iq_beams.dtype
+    pulses = _segment_pulses(cfg)
+    splits = sig.point_prt_segments
+
+    # segment-local matched filtering, 'same'-aligned (peak at echo gate)
+    x = jnp.swapaxes(iq_beams, 1, 2)  # [P, B, G]
+    pieces = []
+    start = 0
+    for pulse, width in zip(pulses, splits):
+        seg = x[..., start:start + width]
+        h = np.conj(pulse[::-1])
+        if len(pulse) > 4:  # windowed LFM matched filters (kaiser 4.5)
+            h = h * kaiser_window(len(pulse), 4.5)[::-1]
+        lh = len(h)
+        nfft = 1
+        while nfft < width + lh - 1:
+            nfft *= 2
+        xf = jnp.fft.fft(seg, n=nfft, axis=-1)
+        hf = jnp.fft.fft(jnp.asarray(h, dtype), n=nfft)
+        y = jnp.fft.ifft(xf * hf, n=nfft, axis=-1)
+        pieces.append(y[..., lh - 1: lh - 1 + width])
+        start += width
+    pc = jnp.swapaxes(jnp.concatenate(pieces, axis=-1), 1, 2).astype(dtype)
+
+    win = kaiser_window(sig.prt_num, 4.5)
+    rdm = mtd(pc, jnp.asarray(win, jnp.finfo(dtype).dtype))
+    if suppress_zero_vel:
+        # suppress the SAME index band the CFAR stage will mask
+        # (center +/- MTD_0v_num); an axis-based band would zero rows the
+        # CFAR mask does not cover and every all-zero row would fire the
+        # ``>=`` detector across all gates
+        n0v = int(cfg.cfar1d.mtd_zero_vel_ms / _delta_v_bin(sig))
+        band = ~np.asarray(zero_velocity_mask(sig.prt_num, n0v))
+        rdm = jnp.where(jnp.asarray(band)[:, None, None], 0.0, rdm)
+    return rdm, pc
+
+
+def _delta_v_bin(sig) -> float:
+    """Velocity per Doppler bin: wavelength*prf/(2*prtNum)
+    (main_test:120-122)."""
+    return sig.wavelength * (1.0 / sig.prt) / (2.0 * sig.prt_num)
+
+
+def stage3_detection(mtd_results: jnp.ndarray, cfg: RadarConfig
+                     ) -> tuple[Detections, jnp.ndarray]:
+    """Sum-beam segmented 1D CFAR; returns (prelim detections, cfar flag
+    cube [V, G, pairs])."""
+    sig = cfg.sig
+    mag = jnp.abs(mtd_results)
+    maps = mag[:, :, :-1] + mag[:, :, 1:]
+    flags, _ = segmented_cfar_1d(maps, cfg.cfar1d, sig.point_prt_segments,
+                                 _delta_v_bin(sig))
+    dets = extract_detections(flags, maps, cfg.cfar.max_detections)
+    return dets, flags
+
+
+class RealDataMeasurement(NamedTuple):
+    """stage-4 output rows (main_test:261-264 field names)."""
+
+    range_m: jnp.ndarray
+    velocity_ms: jnp.ndarray
+    elevation_deg: jnp.ndarray
+    power: jnp.ndarray
+    pair_idx: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def stage4_measurement(prelim: Detections, mtd_results: jnp.ndarray,
+                       cfg: RadarConfig, freq_no: int
+                       ) -> RealDataMeasurement:
+    """Spline refinement + monopulse with the freq-point K table row."""
+    sig = cfg.sig
+    from ..utils.signal import spline_upsample_matrix
+
+    ip = cfg.interp
+    n = 2 * ip.extra_dots + 1
+    angle_k = assets.angle_k_table()
+    k_row = -np.abs(angle_k[freq_no])  # slope sign: beam A below beam B
+    v_max = sig.v_max
+    real_dtype = jnp.finfo(mtd_results.dtype).dtype
+    mc = MeasureConsts(
+        range_axis=np.arange(sig.n_total_gate, dtype=np.float64)
+        * (sig.c / (2 * sig.fs)),
+        velocity_axis=np.linspace(-v_max / 2, v_max / 2, sig.prt_num),
+        delta_r=sig.c / (2 * sig.fs),
+        delta_v=v_max / sig.prt_num,
+        beam_angles_deg=realdata_beam_angles(cfg),
+        k_slopes_lut=k_row,
+        q_range=spline_upsample_matrix(n, ip.r_interp_times),
+        q_vel=spline_upsample_matrix(n, ip.v_interp_times),
+    )
+    mag = jnp.abs(mtd_results)
+    maps = mag[:, :, :-1] + mag[:, :, 1:]
+    p = estimate_parameters(prelim, maps, mtd_results, mc, ip.extra_dots,
+                            ip.r_interp_times, ip.v_interp_times)
+    return RealDataMeasurement(
+        range_m=p.range_m, velocity_ms=p.velocity_ms,
+        elevation_deg=p.angle_deg, power=p.power, pair_idx=p.pair_idx,
+        valid=p.valid)
+
+
+def run_realdata_pipeline(raw_iq: jnp.ndarray, cfg: RadarConfig,
+                          freq_no: int = 6):
+    """Full staged chain on gated raw IQ [P, 3404, C]; returns
+    (measurements, detections, mtd_results)."""
+    dbf_w = np.asarray(assets.dbf_coeffs())
+    beams = dbf(raw_iq, jnp.asarray(dbf_w, raw_iq.dtype), "realdata")
+    rdm, _pc = stage2_mtd(beams, cfg)
+    dets, _flags = stage3_detection(rdm, cfg)
+    meas = stage4_measurement(dets, rdm, cfg, freq_no)
+    return meas, dets, rdm
