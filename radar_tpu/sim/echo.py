@@ -32,13 +32,25 @@ from ..config.params import RadarConfig
 P_NOISE_FLOOR = 1.0  # reference v8 noise floor (fun_process_single_frame.m:16)
 
 
+def radar_equation_amplitude(range_m, rcs, wavelength: float,
+                             gain: float = 1e8):
+    """Historical v1 amplitude model (SURVEY.md section 2.1 "Amplitude
+    models"): A = gain * sqrt(RCS * lambda^2) / (R^2 * (4*pi)^(3/2)), with
+    the reference's fudge gain 1e8 (main_simulate_echoes_with_array.m:
+    167-170). The v4 model is simply amplitude = 1 (_v4.m:157); the current
+    SNR-referenced model (v7.5+) is the default inside the synthesizer."""
+    import jax.numpy as jnp
+
+    return (gain * jnp.sqrt(rcs * wavelength**2)
+            / (range_m**2 * (4.0 * jnp.pi) ** 1.5))
+
+
 @partial(jax.jit, static_argnames=("num_pulses", "num_channels",
                                    "element_spacing", "wavelength", "prt",
-                                   "fs", "c", "p_signal_unscaled", "dtype"))
-def _synthesize(range_m, velocity_ms, elevation_deg, snr_db, tx_pulse,
+                                   "fs", "c", "dtype"))
+def _synthesize(range_m, velocity_ms, elevation_deg, amp, tx_pulse,
                 num_pulses: int, num_channels: int, element_spacing: float,
-                wavelength: float, prt: float, fs: float, c: float,
-                p_signal_unscaled: float, dtype):
+                wavelength: float, prt: float, fs: float, c: float, dtype):
     num_samples = tx_pulse.shape[0]
     real_dtype = jnp.finfo(dtype).dtype
 
@@ -61,10 +73,6 @@ def _synthesize(range_m, velocity_ms, elevation_deg, snr_db, tx_pulse,
                   * doppler_freq[:, None].astype(real_dtype) * m[None, :]
                   ).astype(dtype)  # [K,P]
 
-    # SNR-referenced amplitude vs the unit noise floor
-    snr_lin = 10.0 ** (snr_db / 10.0)
-    amp = jnp.sqrt(snr_lin * P_NOISE_FLOOR / p_signal_unscaled)  # [K]
-
     # channel steering phasors
     el = jnp.deg2rad(elevation_deg)  # [K]
     dphi = (2.0 * jnp.pi * element_spacing * jnp.sin(el) / wavelength)
@@ -78,17 +86,25 @@ def _synthesize(range_m, velocity_ms, elevation_deg, snr_db, tx_pulse,
 
 
 def synthesize_echoes(targets, precomp, cfg: RadarConfig,
-                      dtype=jnp.complex64):
-    """Raw IQ cube [prt_num, point_prt, channel_num] for one frame."""
+                      dtype=jnp.complex64, amplitudes=None):
+    """Raw IQ cube [prt_num, point_prt, channel_num] for one frame.
+
+    ``amplitudes`` overrides the default SNR-referenced amplitude model
+    (amp = sqrt(SNR_lin*P_noise/P_signal_unscaled), ref :61-63) with
+    explicit per-target amplitudes — e.g. radar_equation_amplitude (v1
+    model) or ones (v4 model)."""
     sig = cfg.sig
     tx = jnp.asarray(precomp.tx_pulse, dtype)
+    if amplitudes is None:
+        snr_lin = 10.0 ** (jnp.asarray(targets.snr_db) / 10.0)
+        amplitudes = jnp.sqrt(snr_lin * P_NOISE_FLOOR
+                              / precomp.p_signal_unscaled)
     return _synthesize(
         jnp.asarray(targets.range_m), jnp.asarray(targets.velocity_ms),
-        jnp.asarray(targets.elevation_deg), jnp.asarray(targets.snr_db),
+        jnp.asarray(targets.elevation_deg), jnp.asarray(amplitudes),
         tx, num_pulses=sig.prt_num, num_channels=sig.channel_num,
         element_spacing=cfg.array.element_spacing, wavelength=sig.wavelength,
-        prt=sig.prt, fs=sig.fs, c=sig.c,
-        p_signal_unscaled=precomp.p_signal_unscaled, dtype=dtype)
+        prt=sig.prt, fs=sig.fs, c=sig.c, dtype=dtype)
 
 
 def add_noise(key: jax.Array, raw_iq: jax.Array,

@@ -93,6 +93,32 @@ def build_tx_pulse(cfg: RadarConfig) -> tuple[np.ndarray, tuple]:
     return tx, (n1, n2, n3, pulse2, pulse3)
 
 
+def build_tx_pulse_v1(cfg: RadarConfig) -> np.ndarray:
+    """Historical v1 waveform variant (SURVEY.md section 2.1 "Tx waveform
+    generator", main_simulate_echoes_with_array.m:86-121): the three pulses
+    are placed directly at the starts of the three range-gate segments of a
+    3404-sample gated PRT (not the full 5819-sample PRT), and the narrow
+    pulse is sin(2*pi*t + pi/2) instead of ones."""
+    sig = cfg.sig
+    fs = sig.fs
+    tau1, tau2, tau3 = sig.tau
+    n1, n2, n3 = round(tau1 * fs), round(tau2 * fs), round(tau3 * fs)
+    t1 = np.linspace(-tau1 / 2, tau1 / 2, n1)
+    t2 = np.linspace(-tau2 / 2, tau2 / 2, n2)
+    t3 = np.linspace(-tau3 / 2, tau3 / 2, n3)
+    k2 = -sig.bandwidth / tau2
+    k3 = sig.bandwidth / tau3
+    p1 = np.sin(2 * np.pi * t1 + np.pi / 2).astype(np.complex128)
+    p2 = np.exp(1j * 2 * np.pi * 0.5 * k2 * t2**2)
+    p3 = np.exp(1j * 2 * np.pi * 0.5 * k3 * t3**2)
+    g1, g2, _ = sig.point_prt_segments
+    tx = np.zeros(sig.n_total_gate, dtype=np.complex128)
+    tx[:n1] = p1
+    tx[g1:g1 + n2] = p2
+    tx[g1 + g2:g1 + g2 + n3] = p3
+    return tx
+
+
 def build_dbf_bank(cfg: RadarConfig):
     """Returns (dbf_w [B,C], beam_angles_deg [B], k_slopes [B-1]).
 
