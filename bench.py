@@ -35,10 +35,12 @@ def main() -> None:
                                [10.0, 10.0], [10.0, 15.0])
 
     key = jax.random.PRNGKey(0)
-    # warmup / compile
-    jax.block_until_ready(process(key, targets))
+    # warmup: compile + settle one-time dispatch/transfer overheads
+    for i in range(5):
+        jax.block_until_ready(process(jax.random.fold_in(key, 1000 + i),
+                                      targets))
 
-    n_frames = 20
+    n_frames = 200
     t0 = time.perf_counter()
     for i in range(n_frames):
         result = process(jax.random.fold_in(key, i), targets)
