@@ -40,13 +40,19 @@ def main() -> None:
         jax.block_until_ready(process(jax.random.fold_in(key, 1000 + i),
                                       targets))
 
-    n_frames = 200
-    t0 = time.perf_counter()
-    for i in range(n_frames):
-        result = process(jax.random.fold_in(key, i), targets)
-    jax.block_until_ready(result)
-    dt = time.perf_counter() - t0
-    frames_per_s = n_frames / dt
+    # two-point fit: total(n) = fixed dispatch/tunnel latency + n * t_frame,
+    # so the slope isolates the true per-frame device time
+    def run(n):
+        t0 = time.perf_counter()
+        for i in range(n):
+            result = process(jax.random.fold_in(key, i), targets)
+        jax.block_until_ready(result)
+        return time.perf_counter() - t0
+
+    n_small, n_large = 50, 500
+    t_small, t_large = run(n_small), run(n_large)
+    dt = (t_large - t_small) / (n_large - n_small)
+    frames_per_s = 1.0 / dt
 
     # baseline: vectorized numpy reference chain, one frame on host CPU
     rng = np.random.default_rng(0)
@@ -62,7 +68,7 @@ def main() -> None:
         "vs_baseline": round(frames_per_s / baseline_fps, 2),
     }))
     print(f"# device={jax.devices()[0].device_kind} "
-          f"jax_frame={1e3 * dt / n_frames:.1f}ms "
+          f"jax_frame={1e3 * dt:.2f}ms "
           f"numpy_frame={1e3 * baseline_dt:.1f}ms", file=sys.stderr)
 
 

@@ -203,6 +203,10 @@ class RadarConfig:
     # Monopulse ratio on |RDM| (v8, fun_process_single_frame.m:282-285) or on
     # the complex RDM values (v7_6, main_plot_snr_vs_angle_error.m:455-458)
     monopulse_complex: bool = False
+    # Use the fused Pallas pair-sum+CFAR kernel (ops/pallas_kernels.py)
+    # instead of the jnp formulation; TPU only (interpret-mode on CPU is for
+    # tests, not speed)
+    use_pallas_cfar: bool = False
 
     def replace(self, **kw) -> "RadarConfig":
         return dataclasses.replace(self, **kw)

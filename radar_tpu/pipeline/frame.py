@@ -120,8 +120,15 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
         beams = dbf(noisy, dbf_w, cfg.dbf_variant)
         pc = pulse_compress(beams, precomp, plan)
         rdm = mtd(pc, mtd_win, cfg.mtd_fft_len)
-        maps = pair_sum_maps(rdm)
-        mask, _ = goca_cfar_2d(maps, cfg.cfar)
+        if cfg.use_pallas_cfar:
+            from ..ops.pallas_kernels import goca_cfar_2d_pallas
+
+            mag = jnp.transpose(jnp.abs(rdm), (2, 0, 1))
+            mask, _ = goca_cfar_2d_pallas(mag, cfg.cfar)
+            maps = pair_sum_maps(rdm)
+        else:
+            maps = pair_sum_maps(rdm)
+            mask, _ = goca_cfar_2d(maps, cfg.cfar)
         dets = extract_detections(mask, maps, cfg.cfar.max_detections)
         params = estimate_parameters(
             dets, maps, rdm, mc, ip.extra_dots, ip.r_interp_times,

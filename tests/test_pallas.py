@@ -1,0 +1,50 @@
+"""Pallas kernel parity tests (interpreter mode on CPU): the fused CFAR
+kernel must match the jnp reference formulation cell-exactly."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radar_tpu.config.params import CfarParams
+from radar_tpu.ops.cfar import goca_cfar_2d, pair_sum_maps
+from radar_tpu.ops.pallas_kernels import goca_cfar_2d_pallas
+
+
+@pytest.mark.parametrize("method", ["GOCA", "SOCA", "CA"])
+def test_pallas_cfar_matches_jnp(method):
+    rng = np.random.default_rng(0)
+    num_beams, num_v, num_g = 4, 48, 256
+    mag = rng.exponential(size=(num_beams, num_v, num_g)).astype(np.float32)
+    for _ in range(8):
+        b = rng.integers(0, num_beams)
+        v = rng.integers(10, num_v - 10)
+        g = rng.integers(20, num_g - 20)
+        mag[b, v, g] += 60.0
+    params = CfarParams(ref_cells_v=3, guard_cells_v=4, ref_cells_r=5,
+                        guard_cells_r=10, method=method)
+
+    mask_p, thr_p = goca_cfar_2d_pallas(jnp.asarray(mag), params,
+                                        interpret=True)
+    # jnp reference path: rdm -> pair_sum_maps -> goca_cfar_2d
+    maps = np.moveaxis(mag, 0, 2)
+    maps_pairs = maps[:, :, :-1] + maps[:, :, 1:]
+    mask_j, thr_j = goca_cfar_2d(jnp.asarray(maps_pairs), params)
+
+    np.testing.assert_array_equal(np.asarray(mask_p), np.asarray(mask_j))
+    # thresholds only meaningful (and compared) inside the valid region
+    br = params.ref_cells_r + params.guard_cells_r
+    bv = params.ref_cells_v + params.guard_cells_v
+    np.testing.assert_allclose(
+        np.asarray(thr_p)[bv:-bv, br:-br],
+        np.asarray(thr_j)[bv:-bv, br:-br], rtol=1e-6)
+    assert np.asarray(mask_p).sum() >= 8
+
+
+def test_pallas_cfar_in_pipeline_shape():
+    """Kernel accepts the full-frame shape [13, 332, 3404]."""
+    rng = np.random.default_rng(1)
+    mag = rng.exponential(size=(5, 40, 512)).astype(np.float32)
+    params = CfarParams(ref_cells_v=3, guard_cells_v=4)
+    mask, thr = goca_cfar_2d_pallas(jnp.asarray(mag), params, interpret=True)
+    assert mask.shape == (40, 512, 4)
+    assert thr.shape == (40, 512, 4)
