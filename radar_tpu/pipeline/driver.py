@@ -80,17 +80,28 @@ def associate_tracks(log: DetectionLog, cfg: RadarConfig) -> list[Track]:
     if n == 0:
         return []
     ifc = cfg.inter_frame
-    gates = [
-        (log.range_m, ifc.gate_r(cfg.cluster)),
-        (log.velocity_ms, ifc.gate_v(cfg.cluster)),
-        (log.azimuth_deg, ifc.gate_az_deg),
-        (log.elevation_deg, ifc.gate_el(cfg.cluster)),
-        (log.frame.astype(float), float(ifc.max_frame_gap)),
-    ]
-    adj = np.ones((n, n), dtype=bool)
-    for f, g in gates:
-        adj &= np.abs(f[:, None] - f[None, :]) <= g
-    comp = connected_components_np(adj)
+    gate_vals = (ifc.gate_r(cfg.cluster), ifc.gate_v(cfg.cluster),
+                 ifc.gate_az_deg, ifc.gate_el(cfg.cluster),
+                 float(ifc.max_frame_gap))
+    # fast path: native C++ spatial-hash BFS (radar_tpu/native); identical
+    # partition and component order to the dense numpy BFS fallback
+    from ..native import associate_tracks_5d_native
+
+    comp = associate_tracks_5d_native(log.range_m, log.velocity_ms,
+                                      log.azimuth_deg, log.elevation_deg,
+                                      log.frame, gate_vals)
+    if comp is None:
+        gates = [
+            (log.range_m, gate_vals[0]),
+            (log.velocity_ms, gate_vals[1]),
+            (log.azimuth_deg, gate_vals[2]),
+            (log.elevation_deg, gate_vals[3]),
+            (log.frame.astype(float), gate_vals[4]),
+        ]
+        adj = np.ones((n, n), dtype=bool)
+        for f, g in gates:
+            adj &= np.abs(f[:, None] - f[None, :]) <= g
+        comp = connected_components_np(adj)
 
     tracks = []
     for cid in range(comp.max() + 1):
