@@ -1,0 +1,155 @@
+"""Streaming many-target Monte-Carlo with sharded trials and detection-rate
+statistics (BASELINE.json config 5: "10k-target Monte-Carlo across N>=2
+hosts, channels+CPIs sharded, detection-rate statistics").
+
+Scenes of random targets are generated on the host; per scene, a batch of
+noise trials runs as one device program with the trial axis sharded over the
+mesh's ``dp`` axis (and the processing cube sharded over ``ch``/``cpi`` via
+the GSPMD constraints of parallel/sharded.py when a mesh is given). Truth
+matching uses the clustering gates; statistics aggregate per-SNR-bin
+detection rates over all injected targets — the scaled-up version of the
+reference's Pd measurement (main_plot_snr_vs_angle_error.m:284).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.params import RadarConfig
+from ..sim.scenario import TargetBatch
+from ..waveform.precompute import Precomputed, precompute
+from .frame import make_frame_processor
+
+
+class StreamingStats(NamedTuple):
+    total_targets: int
+    total_detected: int
+    detection_rate: float
+    snr_bin_edges: np.ndarray
+    snr_bin_rate: np.ndarray        # detection rate per SNR bin
+    snr_bin_counts: np.ndarray
+    range_rmse_m: float             # over matched detections
+    velocity_rmse_ms: float
+
+
+def random_scene(rng: np.random.Generator, num_targets: int,
+                 cfg: RadarConfig, snr_range=(0.0, 20.0)) -> TargetBatch:
+    """Random targets inside the unambiguous detection region: ranges in
+    the CFAR-valid gate span, velocities inside the valid Doppler region,
+    elevations across the beam fan."""
+    sig = cfg.sig
+    delta_r = sig.c / (2 * sig.fs)
+    border_r = cfg.cfar.ref_cells_r + cfg.cfar.guard_cells_r
+    border_v = cfg.cfar.ref_cells_v + cfg.cfar.guard_cells_v
+    r = rng.uniform((border_r + 5) * delta_r,
+                    (sig.n_total_gate - border_r - 5) * delta_r, num_targets)
+    v_max = sig.v_max
+    # valid shifted Doppler bins are [border_v, prt_num-border_v)
+    v_lo = (border_v + 2) / sig.prt_num - 0.5
+    v_hi = (sig.prt_num - border_v - 2) / sig.prt_num - 0.5
+    v = rng.uniform(v_lo * v_max, v_hi * v_max, num_targets)
+    el = rng.uniform(-10.0, 40.0, num_targets)
+    snr = rng.uniform(*snr_range, num_targets)
+    return TargetBatch.make(r, v, el, snr)
+
+
+def _match_rate(final, truth: TargetBatch, gate_r: float, gate_v: float):
+    """Per-truth-target detected flags + (dR, dV) of the best match."""
+    valid = np.asarray(final.valid)
+    fr = np.asarray(final.range_m)[valid]
+    fv = np.asarray(final.velocity_ms)[valid]
+    k = truth.num_targets
+    detected = np.zeros(k, bool)
+    dr = np.full(k, np.nan)
+    dv = np.full(k, np.nan)
+    if len(fr):
+        for i in range(k):
+            d_r = np.abs(fr - truth.range_m[i])
+            d_v = np.abs(fv - truth.velocity_ms[i])
+            ok = (d_r <= gate_r) & (d_v <= gate_v)
+            if ok.any():
+                j = int(np.argmin(np.where(ok, d_r, np.inf)))
+                detected[i] = True
+                dr[i] = fr[j] - truth.range_m[i]
+                dv[i] = fv[j] - truth.velocity_ms[i]
+    return detected, dr, dv
+
+
+def run_streaming_mc(cfg: RadarConfig, num_scenes: int = 16,
+                     targets_per_scene: int = 8, trials_per_scene: int = 4,
+                     seed: int = 0, mesh=None,
+                     precomp: Precomputed | None = None,
+                     dtype=jnp.complex64, snr_range=(0.0, 20.0),
+                     match_gate_r: float = 60.0, match_gate_v: float = 3.0,
+                     progress: bool = False) -> StreamingStats:
+    """Total injected targets = num_scenes*targets_per_scene*trials_per_scene
+    (10k-scale via e.g. 80 scenes x 32 targets x 4 trials)."""
+    if precomp is None:
+        precomp = precompute(cfg)
+    if mesh is not None:
+        # the mesh path shards WITHIN each trial (dp+cpi over pulses, ch
+        # over channels); trials run back-to-back. (vmapping the sharded
+        # program also works on TPU but trips an XLA:CPU FFT layout
+        # RET_CHECK, so the portable path keeps trials un-vmapped.)
+        from ..parallel.sharded import make_sharded_frame_processor
+
+        process = make_sharded_frame_processor(cfg, mesh, precomp,
+                                               dtype=dtype)
+
+        def trial_batch(keys, truth):
+            outs = [process(k, truth) for k in keys]
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+    else:
+        process = make_frame_processor(cfg, precomp, dtype=dtype)
+        trial_batch = jax.jit(jax.vmap(process, in_axes=(0, None)))
+
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    all_snr, all_det = [], []
+    all_dr, all_dv = [], []
+    for s in range(num_scenes):
+        truth = random_scene(rng, targets_per_scene, cfg, snr_range)
+        keys = jax.random.split(jax.random.fold_in(key, s),
+                                trials_per_scene)
+        results = jax.block_until_ready(trial_batch(keys, truth))
+        for t in range(trials_per_scene):
+            one = jax.tree.map(lambda x: x[t], results)
+            det, dr, dv = _match_rate(one.targets, truth, match_gate_r,
+                                      match_gate_v)
+            all_snr.append(truth.snr_db)
+            all_det.append(det)
+            all_dr.append(dr)
+            all_dv.append(dv)
+        if progress:
+            print(f"scene {s + 1}/{num_scenes}: "
+                  f"rate={np.mean(all_det[-trials_per_scene:]):.2f}")
+
+    snr = np.concatenate(all_snr)
+    det = np.concatenate(all_det)
+    dr = np.concatenate(all_dr)
+    dv = np.concatenate(all_dv)
+    edges = np.linspace(snr_range[0], snr_range[1], 9)
+    bins = np.clip(np.digitize(snr, edges) - 1, 0, len(edges) - 2)
+    rate = np.zeros(len(edges) - 1)
+    counts = np.zeros(len(edges) - 1, int)
+    for b in range(len(edges) - 1):
+        m = bins == b
+        counts[b] = m.sum()
+        rate[b] = det[m].mean() if m.any() else np.nan
+    matched = ~np.isnan(dr)
+    return StreamingStats(
+        total_targets=len(det),
+        total_detected=int(det.sum()),
+        detection_rate=float(det.mean()),
+        snr_bin_edges=edges,
+        snr_bin_rate=rate,
+        snr_bin_counts=counts,
+        range_rmse_m=float(np.sqrt(np.nanmean(dr[matched] ** 2)))
+        if matched.any() else np.nan,
+        velocity_rmse_ms=float(np.sqrt(np.nanmean(dv[matched] ** 2)))
+        if matched.any() else np.nan,
+    )
