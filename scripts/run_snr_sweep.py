@@ -26,7 +26,8 @@ def main() -> None:
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--out", default="snr_sweep.png")
     ap.add_argument("--snr", default="-10:2:30",
-                    help="start:step:stop in dB (MATLAB colon syntax)")
+                    help="start:step:stop in dB (MATLAB colon syntax); "
+                         "use --snr=-10:2:30 form for negative starts")
     args = ap.parse_args()
 
     if args.cpu:
