@@ -48,8 +48,11 @@ def _first_valid_angle(result):
 
 def make_trial_fn(cfg: RadarConfig, precomp: Precomputed,
                   dtype=jnp.complex64):
-    """Returns jitted ``trials(echo_cube, keys) -> (angles [T], hits [T])``
-    vmapping the noise + processing chain over trial keys."""
+    """Returns jitted ``trials(targets, keys) -> (angles [T], hits [T])``:
+    one echo synthesis + the noise/processing chain vmapped over trial keys,
+    all inside one program. (Echo synthesis must NOT be a separate jit here:
+    its dynamically-gathered output gets a layout some tunnel TPU backends
+    cannot pass across program boundaries.)"""
     # reuse the frame pipeline minus echo synthesis
     from ..cluster.stages import cluster_stage1, cluster_stage2
     from ..measure.estimate import estimate_parameters
@@ -86,7 +89,11 @@ def make_trial_fn(cfg: RadarConfig, precomp: Precomputed,
                              num_final=final.count.astype(jnp.int32))
         return _first_valid_angle(result)
 
-    return jax.jit(jax.vmap(one_trial, in_axes=(None, 0)))
+    def trials(targets, keys):
+        echo = synthesize_echoes(targets, precomp, cfg, dtype=dtype)
+        return jax.vmap(one_trial, in_axes=(None, 0))(echo, keys)
+
+    return jax.jit(trials)
 
 
 def snr_sweep(cfg: RadarConfig, snr_db_vector=None, num_trials: int = 100,
@@ -117,13 +124,12 @@ def snr_sweep(cfg: RadarConfig, snr_db_vector=None, num_trials: int = 100,
         tb = TargetBatch(truth.range_m, truth.velocity_ms,
                          truth.elevation_deg,
                          np.full_like(truth.range_m, snr))
-        echo = synthesize_echoes(tb, precomp, cfg, dtype=dtype)
         skey = jax.random.fold_in(key, i)
         done = 0
         while done < num_trials:
             nb = min(batch_size, num_trials - done)
             keys = jax.random.split(jax.random.fold_in(skey, done), nb)
-            angles, hits = jax.block_until_ready(trials_fn(echo, keys))
+            angles, hits = jax.block_until_ready(trials_fn(tb, keys))
             angles = np.asarray(angles, np.float64)
             hits = np.asarray(hits)
             err = np.where(hits, angles - float(truth.elevation_deg[0]),
