@@ -21,7 +21,8 @@ from .steering import steering_vector
 
 
 def beam_patterns(dbf_w: np.ndarray, element_spacing: float, wavelength: float,
-                  scan_deg: np.ndarray | None = None):
+                  scan_deg: np.ndarray | None = None,
+                  wavelength_override: float | None = None):
     """Returns (scan_deg, patterns [B, len(scan)], peak_angles_deg [B]).
 
     patterns are linear magnitude of w_b . S(theta).
@@ -29,7 +30,11 @@ def beam_patterns(dbf_w: np.ndarray, element_spacing: float, wavelength: float,
     if scan_deg is None:
         scan_deg = np.arange(-90.0, 100.0 + 1e-9, 0.1)
     num_elements = dbf_w.shape[1]
-    s = steering_vector(scan_deg, num_elements, element_spacing, wavelength)
+    # wavelength_override reproduces the reference script's quirk of
+    # evaluating patterns at fc=9500 MHz instead of the system's 9450 MHz
+    # (plot_beam_patterns.m:20)
+    s = steering_vector(scan_deg, num_elements, element_spacing,
+                        wavelength_override or wavelength)
     resp = np.abs(dbf_w.conj() @ s)  # [B, G]
     peaks = scan_deg[np.argmax(resp, axis=1)]
     return scan_deg, resp, peaks

@@ -124,7 +124,8 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
             from ..ops.pallas_kernels import goca_cfar_2d_pallas
 
             mag = jnp.transpose(jnp.abs(rdm), (2, 0, 1))
-            mask, _ = goca_cfar_2d_pallas(mag, cfg.cfar)
+            mask, _ = goca_cfar_2d_pallas(
+                mag, cfg.cfar, interpret=jax.default_backend() == "cpu")
             maps = pair_sum_maps(rdm)
         else:
             maps = pair_sum_maps(rdm)
