@@ -5,8 +5,16 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Frame = the reference's full problem size (16 channels x 332 pulses x 5819
-samples -> 332 x 3404 x 13 RDM -> 12-pair 2D GOCA-CFAR -> measured target
-list; main_simulate_echoes_with_array_v8_3.m:71-84).
+samples -> 332 x 3404 x 13 RDM -> 12-pair 2D GOCA-CFAR -> spline/monopulse
+measurement -> two-stage clustering; main_simulate_echoes_with_array_v8_3.m:
+71-84).
+
+Measurement methodology (tunnel-TPU-safe, see .claude/skills/verify):
+frames run inside ONE on-device ``lax.fori_loop`` program with a traced trip
+count (single compile), every per-frame output consumed into the loop
+carry — host-side loops measure dispatch latency and execution caches, and
+partially-consumed outputs get dead-code-eliminated. Per-frame time is the
+slope between two trip counts.
 """
 
 from __future__ import annotations
@@ -30,34 +38,42 @@ def main() -> None:
 
     cfg = full_config()
     precomp = precompute(cfg)
-    process = make_frame_processor(cfg, precomp, dtype=jnp.complex64)
-    targets = TargetBatch.make([3000.0, 10000.0], [20.0, 25.0],
-                               [10.0, 10.0], [10.0, 15.0])
+    process = make_frame_processor(cfg, precomp, dtype=jnp.complex64,
+                                   jit=False)
+    targets_np = TargetBatch.make([3000.0, 10000.0], [20.0, 25.0],
+                                  [10.0, 10.0], [10.0, 15.0])
+    targets = TargetBatch(*[jnp.asarray(x, jnp.float32)
+                            for x in targets_np])
 
+    def frames_loop(n, key):
+        def body(i, acc):
+            res = process(jax.random.fold_in(key, i), targets)
+            t = res.targets
+            return (acc + jnp.sum(t.range_m) + jnp.sum(t.velocity_ms)
+                    + jnp.sum(t.angle_deg) + jnp.sum(t.power)
+                    + res.num_raw_detections.astype(jnp.float32))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    f = jax.jit(frames_loop)  # traced trip count -> one compile
     key = jax.random.PRNGKey(0)
-    # warmup: compile + settle one-time dispatch/transfer overheads
-    for i in range(5):
-        jax.block_until_ready(process(jax.random.fold_in(key, 1000 + i),
-                                      targets))
+    for n in (2, 2):  # compile + settle
+        jax.block_until_ready(f(n, key))
 
-    # two-point fit: total(n) = fixed dispatch/tunnel latency + n * t_frame,
-    # so the slope isolates the true per-frame device time
-    def run(n):
+    def timed(n, seed):
         t0 = time.perf_counter()
-        for i in range(n):
-            result = process(jax.random.fold_in(key, i), targets)
-        jax.block_until_ready(result)
+        jax.block_until_ready(f(n, jax.random.PRNGKey(seed)))
         return time.perf_counter() - t0
 
-    n_small, n_large = 50, 500
-    t_small, t_large = run(n_small), run(n_large)
+    n_small, n_large = 5, 55
+    t_small = min(timed(n_small, 1), timed(n_small, 2))
+    t_large = min(timed(n_large, 3), timed(n_large, 4))
     dt = (t_large - t_small) / (n_large - n_small)
     frames_per_s = 1.0 / dt
 
     # baseline: vectorized numpy reference chain, one frame on host CPU
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
-    frame_baseline_np(rng, targets, precomp, cfg)
+    frame_baseline_np(rng, targets_np, precomp, cfg)
     baseline_dt = time.perf_counter() - t0
     baseline_fps = 1.0 / baseline_dt
 

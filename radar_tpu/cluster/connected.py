@@ -23,14 +23,22 @@ import numpy as np
 
 def connected_labels(adj: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Labels [n] int32: smallest member index of each component; invalid
-    slots get label n. ``adj`` need not include self-edges or be masked."""
+    slots get label n. ``adj`` need not include self-edges or be masked.
+
+    Runs a FIXED number of min-propagation + pointer-jumping steps: each
+    step at least doubles the distance the minimum label has traveled along
+    any path (one hop from the neighbor-min + path halving from the jump),
+    so ceil(log2(n)) + 2 steps suffice for any graph on n nodes. A fixed
+    trip count keeps the loop free of data-dependent while conditions
+    (cheaper to compile and schedule than lax.while_loop on TPU)."""
     n = adj.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     vmask = valid[None, :] & valid[:, None]
     a = (adj & vmask) | (jnp.eye(n, dtype=bool) & valid[None, :])
     init = jnp.where(valid, idx, n).astype(jnp.int32)
+    n_steps = max(int(np.ceil(np.log2(max(n, 2)))) + 2, 4)
 
-    def step(labels):
+    def body(_, labels):
         nb = jnp.where(a, labels[None, :], n)
         new = jnp.minimum(labels, jnp.min(nb, axis=1)).astype(jnp.int32)
         # pointer jumping: adopt your current representative's label
@@ -38,17 +46,7 @@ def connected_labels(adj: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
         new = jnp.minimum(new, jnp.where(new < n, new[jumped], n))
         return new.astype(jnp.int32)
 
-    def cond(state):
-        labels, changed = state
-        return changed
-
-    def body(state):
-        labels, _ = state
-        new = step(labels)
-        return new, jnp.any(new != labels)
-
-    labels, _ = jax.lax.while_loop(cond, body, (init, jnp.asarray(True)))
-    return labels
+    return jax.lax.fori_loop(0, n_steps, body, init)
 
 
 def gate_adjacency(fields: list[tuple[jnp.ndarray, float]],

@@ -203,6 +203,10 @@ class RadarConfig:
     # Monopulse ratio on |RDM| (v8, fun_process_single_frame.m:282-285) or on
     # the complex RDM values (v7_6, main_plot_snr_vs_angle_error.m:455-458)
     monopulse_complex: bool = False
+    # Pulse-compression backend: "matmul" (banded-Toeplitz MXU matmuls,
+    # exact direct convolution, fastest on TPU) or "fft" (frequency-domain
+    # fast convolution, the reference's formulation)
+    pc_method: str = "matmul"
     # Use the fused Pallas pair-sum+CFAR kernel (ops/pallas_kernels.py)
     # instead of the jnp formulation; TPU only (interpret-mode on CPU is for
     # tests, not speed)

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..config.params import CfarParams
@@ -128,9 +129,15 @@ def extract_detections(mask: jnp.ndarray, maps: jnp.ndarray,
     index list ordered (pair, range, velocity)-major."""
     num_v, num_r, _ = mask.shape
     flat = jnp.transpose(mask, (2, 1, 0)).ravel()
-    (idx,) = jnp.nonzero(flat, size=capacity, fill_value=-1)
-    valid = idx >= 0
-    safe = jnp.maximum(idx, 0)
+    n = flat.shape[0]
+    # first-`capacity` True positions in ascending order via top_k on negated
+    # indices — equivalent to nonzero(size=capacity) but avoids the giant
+    # 1-D scan lowering that dominates frame time on TPU
+    neg = jnp.where(flat, -jax.lax.iota(jnp.int32, n), jnp.int32(-n - 1))
+    vals, _ = jax.lax.top_k(neg, capacity)
+    idx = -vals
+    valid = idx <= n - 1
+    safe = jnp.where(valid, idx, 0)
     pair = safe // (num_r * num_v)
     rem = safe % (num_r * num_v)
     r = rem // num_v

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -89,6 +90,79 @@ def make_plan(precomp, trim: bool = True) -> PCPlan:
         nfft_long=(next_pow2(n_total + n_mf_long - 1)
                    if trim else full_long),
     )
+
+
+class MatmulPlan(NamedTuple):
+    """Banded-Toeplitz matmul plan: the causal convolutions become chunked
+    [window, out_chunk] matmuls against host-precomputed filter matrices —
+    MXU work with constant operands, instead of FFT custom calls whose
+    twiddle factors XLA regenerates (sine/cosine over full matrices) on
+    every invocation. Numerically this is exact direct convolution.
+
+    chunks: list of (seg_start_sample, window_len, M [window_len, out_len])
+    in splice order; concatenating the chunk outputs yields the full
+    [pulses, n_total_gate, beams] PC cube."""
+
+    chunks: tuple
+
+
+def _toeplitz_chunks(h: np.ndarray, seg_start: int, out_lo: int, out_hi: int,
+                     gate_offset: int, chunk: int) -> list:
+    """Chunks for causal-conv outputs [out_lo, out_hi) of a segment whose
+    samples start at ``seg_start`` in the PRT; gate_offset unused (outputs
+    are already emitted in splice order)."""
+    lh = len(h)
+    del gate_offset
+    out = []
+    o0 = out_lo
+    while o0 < out_hi:
+        o1 = min(o0 + chunk, out_hi)
+        w0 = max(o0 - (lh - 1), 0)
+        wlen = o1 - w0
+        m = np.zeros((wlen, o1 - o0), dtype=np.complex128)
+        for j in range(o1 - o0):
+            # y[o0+j] = sum_m h[(o0+j) - (w0+m)] * x[w0+m]
+            k = (o0 + j) - (w0 + np.arange(wlen))
+            sel = (k >= 0) & (k < lh)
+            m[sel, j] = h[k[sel]]
+        out.append((seg_start + w0, wlen, m))
+        o0 = o1
+    return out
+
+
+def make_matmul_plan(precomp, chunk: int = 512) -> MatmulPlan:
+    g1, g2, _ = precomp.gate_splits
+    gate_medium_end = g1 + g2
+    n_total = precomp.n_total_gate
+    fir = np.asarray(precomp.mf_narrow, np.complex128)
+    fd = precomp.fir_delay
+    chunks = []
+    # narrow: causal FIR outputs [fd, fd + g1) of the narrow segment
+    chunks += _toeplitz_chunks(fir, precomp.seg_start_narrow, fd, fd + g1,
+                               0, chunk)
+    # medium: outputs [g1, g1+g2) of the medium segment
+    chunks += _toeplitz_chunks(np.asarray(precomp.mf_medium_win),
+                               precomp.seg_start_medium, g1, gate_medium_end,
+                               0, chunk)
+    # long: outputs [g1+g2, n_total) of the long segment
+    chunks += _toeplitz_chunks(np.asarray(precomp.mf_long_win),
+                               precomp.seg_start_long, gate_medium_end,
+                               n_total, 0, chunk)
+    return MatmulPlan(chunks=tuple(chunks))
+
+
+def pulse_compress_matmul(iq_beams: jnp.ndarray, mplan: MatmulPlan
+                          ) -> jnp.ndarray:
+    """[pulses, samples, beams] -> [pulses, n_total_gate, beams] via the
+    banded-Toeplitz matmul plan."""
+    dtype = iq_beams.dtype
+    pieces = []
+    for w0, wlen, m in mplan.chunks:
+        seg = jax.lax.slice_in_dim(iq_beams, w0, w0 + wlen, axis=1)
+        mm = jnp.asarray(m, dtype)
+        pieces.append(jnp.einsum("pwb,wj->pjb", seg, mm,
+                                 preferred_element_type=dtype))
+    return jnp.concatenate(pieces, axis=1)
 
 
 def _fft_causal_conv(x: jnp.ndarray, h: jnp.ndarray, nfft: int,

@@ -34,7 +34,8 @@ from ..measure.estimate import estimate_parameters
 from ..ops.cfar import extract_detections, goca_cfar_2d, pair_sum_maps
 from ..ops.dbf import dbf
 from ..ops.mtd import mtd
-from ..ops.pulse_compression import make_plan, pulse_compress
+from ..ops.pulse_compression import (make_matmul_plan, make_plan,
+                                     pulse_compress, pulse_compress_matmul)
 from ..pipeline.frame import FrameResult, measure_consts
 from ..sim.echo import add_noise, synthesize_echoes
 from ..sim.scenario import TargetBatch
@@ -51,6 +52,7 @@ def make_sharded_frame_processor(cfg: RadarConfig, mesh: Mesh,
     if precomp is None:
         precomp = precompute(cfg)
     plan = make_plan(precomp)
+    mplan = make_matmul_plan(precomp) if cfg.pc_method == "matmul" else None
     real_dtype = jnp.finfo(dtype).dtype
     # host numpy constants: embedded at trace time (a device-
     # resident closure constant would need a device->host readback
@@ -74,7 +76,9 @@ def make_sharded_frame_processor(cfg: RadarConfig, mesh: Mesh,
         noisy = add_noise(key, raw)
         noisy = cs(noisy, cube_spec)
         beams = cs(dbf(noisy, dbf_w, cfg.dbf_variant), beams_spec)
-        pc = cs(pulse_compress(beams, precomp, plan), beams_spec)
+        pc_out = (pulse_compress_matmul(beams, mplan) if mplan is not None
+                  else pulse_compress(beams, precomp, plan))
+        pc = cs(pc_out, beams_spec)
         # reshard pulses->gates for the slow-time FFT (Ulysses-style swap)
         pc = cs(pc, gate_spec)
         rdm = cs(mtd(pc, mtd_win, cfg.mtd_fft_len), gate_spec)

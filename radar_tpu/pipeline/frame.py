@@ -29,7 +29,8 @@ from ..ops.cfar import (Detections, extract_detections, goca_cfar_2d,
                         pair_sum_maps)
 from ..ops.dbf import dbf
 from ..ops.mtd import mtd
-from ..ops.pulse_compression import make_plan, pulse_compress
+from ..ops.pulse_compression import (make_matmul_plan, make_plan,
+                                     pulse_compress, pulse_compress_matmul)
 from ..sim.echo import add_noise, synthesize_echoes
 from ..sim.scenario import TargetBatch
 from ..waveform.precompute import Precomputed, precompute
@@ -105,6 +106,7 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
     if precomp is None:
         precomp = precompute(cfg)
     plan = make_plan(precomp)
+    mplan = make_matmul_plan(precomp) if cfg.pc_method == "matmul" else None
     real_dtype = jnp.finfo(dtype).dtype
     # host numpy constants: embedded at trace time (a device-
     # resident closure constant would need a device->host readback
@@ -118,7 +120,10 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
         raw = synthesize_echoes(targets, precomp, cfg, dtype=dtype)
         noisy = add_noise(key, raw)
         beams = dbf(noisy, dbf_w, cfg.dbf_variant)
-        pc = pulse_compress(beams, precomp, plan)
+        if mplan is not None:
+            pc = pulse_compress_matmul(beams, mplan)
+        else:
+            pc = pulse_compress(beams, precomp, plan)
         rdm = mtd(pc, mtd_win, cfg.mtd_fft_len)
         if cfg.use_pallas_cfar:
             from ..ops.pallas_kernels import goca_cfar_2d_pallas

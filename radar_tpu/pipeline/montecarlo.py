@@ -59,10 +59,12 @@ def make_trial_fn(cfg: RadarConfig, precomp: Precomputed,
     from ..ops.cfar import extract_detections, goca_cfar_2d, pair_sum_maps
     from ..ops.dbf import dbf
     from ..ops.mtd import mtd
-    from ..ops.pulse_compression import make_plan, pulse_compress
+    from ..ops.pulse_compression import (make_matmul_plan, make_plan,
+                                         pulse_compress, pulse_compress_matmul)
     from .frame import FrameResult, measure_consts
 
     plan = make_plan(precomp)
+    mplan = make_matmul_plan(precomp) if cfg.pc_method == "matmul" else None
     real_dtype = jnp.finfo(dtype).dtype
     # host numpy constants: embedded at trace time (a device-
     # resident closure constant would need a device->host readback
@@ -75,7 +77,8 @@ def make_trial_fn(cfg: RadarConfig, precomp: Precomputed,
     def one_trial(echo, key):
         noisy = add_noise(key, echo)
         beams = dbf(noisy, dbf_w, cfg.dbf_variant)
-        pc = pulse_compress(beams, precomp, plan)
+        pc = (pulse_compress_matmul(beams, mplan) if mplan is not None
+              else pulse_compress(beams, precomp, plan))
         rdm = mtd(pc, mtd_win, cfg.mtd_fft_len)
         maps = pair_sum_maps(rdm)
         mask, _ = goca_cfar_2d(maps, cfg.cfar)

@@ -57,11 +57,19 @@ def _synthesize(range_m, velocity_ms, elevation_deg, amp, tx_pulse,
     delay_s = 2.0 * range_m / c
     delay_samples = jnp.round(delay_s * fs).astype(jnp.int32)  # [K]
 
-    # delayed base pulse per target: roll + front mask (no wraparound; the
-    # tx tail is zero so the rolled-in tail is zero whenever the reference's
-    # truncation would apply)
+    # Delayed base pulse per target: integer circular shift applied in the
+    # frequency domain (ifft(fft(tx) * exp(-2pi*j*k*d/S))) + front mask.
+    # Mathematically identical to a dynamic roll, but gather-free: dynamic
+    # gathers are pathological on some TPU runtimes (untransferable output
+    # layouts, erratic execution), while batched FFTs are fast. The phase
+    # index k*d is reduced mod S in int32 so float32 phase stays exact.
     sample_idx = jnp.arange(num_samples)
-    rolled = jax.vmap(lambda d: jnp.roll(tx_pulse, d))(delay_samples)  # [K,S]
+    real_one = jnp.ones((), real_dtype)
+    tx_f = jnp.fft.fft(tx_pulse)  # folded to a constant per program
+    kd = (sample_idx[None, :] * delay_samples[:, None]) % num_samples  # [K,S]
+    phase = (-2.0 * jnp.pi) * kd.astype(real_dtype) / num_samples
+    shift = jnp.exp(1j * phase).astype(dtype)
+    rolled = jnp.fft.ifft(tx_f[None, :] * shift, axis=-1).astype(dtype)
     valid_delay = (delay_samples > 0) & (delay_samples < num_samples)
     mask = (sample_idx[None, :] >= delay_samples[:, None]) & valid_delay[:, None]
     base = jnp.where(mask, rolled, 0.0).astype(dtype)

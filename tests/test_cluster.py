@@ -98,3 +98,14 @@ def test_cluster_empty_input():
     out = cluster_stage2(cluster_stage1(dets, ClusterParams()),
                          ClusterParams())
     assert int(out.count) == 0
+
+
+def test_connected_labels_long_chain_converges():
+    """Worst case for fixed-iteration label propagation: one path graph
+    spanning all capacity slots must still collapse to a single component
+    (doubling argument: log2(n)+2 steps cover any chain)."""
+    n = 512
+    x = np.arange(n, dtype=float)  # gate 1.0 connects only neighbors
+    adj = gate_adjacency([(jnp.asarray(x), 1.0)], jnp.ones(n, bool))
+    labels = np.asarray(connected_labels(adj, jnp.ones(n, bool)))
+    assert np.all(labels == 0), np.unique(labels)
