@@ -123,21 +123,51 @@ class Detections(NamedTuple):
     count: jnp.ndarray     # int32 scalar (true number found, may exceed cap)
 
 
+def first_k_true_indices(flat: jnp.ndarray, capacity: int,
+                         row_width: int = 4096) -> tuple[jnp.ndarray,
+                                                         jnp.ndarray]:
+    """Ascending flat indices of the first ``capacity`` True entries of a
+    large boolean vector, plus a validity mask.
+
+    Equivalent to ``jnp.nonzero(flat, size=capacity)`` but TPU-shaped: a
+    plain nonzero lowers to a giant 1-D scan and ``top_k`` over negated
+    indices lowers to a full 13M-element sort — both dominate frame time.
+    Here the vector is tiled into rows; per-slot binary search over the
+    row-count prefix sum finds each hit's row, a one-hot matmul (MXU)
+    fetches the 512 relevant rows, and a lane-axis cumsum locates the hit
+    inside its row. All pieces are O(n) elementwise or tiny.
+    """
+    n = flat.shape[0]
+    num_rows = -(-n // row_width)
+    padded = jnp.zeros((num_rows * row_width,), bool).at[:n].set(flat)
+    m2 = padded.reshape(num_rows, row_width)
+    row_counts = jnp.sum(m2, axis=1).astype(jnp.int32)          # [R]
+    row_off = jnp.cumsum(row_counts) - row_counts               # exclusive
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    total = row_off[-1] + row_counts[-1]
+    valid = slots < jnp.minimum(total, capacity)
+    # row of the s-th global hit: last r with row_off[r] <= s
+    r_s = (jnp.searchsorted(row_off, slots, side="right",
+                            method="compare_all") - 1).astype(jnp.int32)
+    r_s = jnp.clip(r_s, 0, num_rows - 1)
+    # fetch the selected rows with a one-hot matmul (gather-free)
+    onehot = jax.nn.one_hot(r_s, num_rows, dtype=jnp.float32)   # [cap, R]
+    rows_sel = onehot @ m2.astype(jnp.float32)                  # [cap, W]
+    within = jnp.cumsum(rows_sel, axis=1) - rows_sel            # exclusive
+    want = (slots - row_off[r_s]).astype(jnp.float32)
+    hit = (jnp.abs(within - want[:, None]) < 0.5) & (rows_sel > 0.5)
+    pos_c = jnp.argmax(hit, axis=1).astype(jnp.int32)
+    idx = r_s * row_width + pos_c
+    return jnp.where(valid, idx, 0), valid
+
+
 def extract_detections(mask: jnp.ndarray, maps: jnp.ndarray,
                        capacity: int) -> Detections:
     """Turn a boolean detection cube [V, G, pairs] into a fixed-capacity
     index list ordered (pair, range, velocity)-major."""
     num_v, num_r, _ = mask.shape
     flat = jnp.transpose(mask, (2, 1, 0)).ravel()
-    n = flat.shape[0]
-    # first-`capacity` True positions in ascending order via top_k on negated
-    # indices — equivalent to nonzero(size=capacity) but avoids the giant
-    # 1-D scan lowering that dominates frame time on TPU
-    neg = jnp.where(flat, -jax.lax.iota(jnp.int32, n), jnp.int32(-n - 1))
-    vals, _ = jax.lax.top_k(neg, capacity)
-    idx = -vals
-    valid = idx <= n - 1
-    safe = jnp.where(valid, idx, 0)
+    safe, valid = first_k_true_indices(flat, capacity)
     pair = safe // (num_r * num_v)
     rem = safe % (num_r * num_v)
     r = rem // num_v
