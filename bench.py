@@ -57,11 +57,13 @@ def main() -> None:
     f = jax.jit(frames_loop)  # traced trip count -> one compile
     key = jax.random.PRNGKey(0)
     for n in (2, 2):  # compile + settle
-        jax.block_until_ready(f(n, key))
+        float(f(n, key))
 
     def timed(n, seed):
+        # force a scalar transfer: on tunnel backends block_until_ready can
+        # return before the device has drained, but a value transfer cannot
         t0 = time.perf_counter()
-        jax.block_until_ready(f(n, jax.random.PRNGKey(seed)))
+        float(f(n, jax.random.PRNGKey(seed)))
         return time.perf_counter() - t0
 
     n_small, n_large = 5, 55

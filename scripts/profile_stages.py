@@ -7,9 +7,12 @@ Methodology (hard-won on tunnel TPU backends — see .claude/skills/verify):
     the input by a scalar factor is useless because every DSP stage is
     linear and XLA hoists the whole stage out of the loop as
     loop-invariant;
-  - consume the full output with a sum (consuming one element lets XLA
-    dead-code-eliminate the stage);
-  - subtract the input-generation cost measured with an identity stage.
+  - consume the full output with a NONLINEAR reduction sum(|y|): consuming
+    one element lets XLA dead-code-eliminate the stage, and a plain sum of
+    a linear stage gets algebraically factored through it;
+  - subtract the input-generation cost measured with an identity stage;
+  - force a scalar transfer after each timed call (block_until_ready can
+    return early on tunnel backends).
 
 Writes results/stage_profile.json. Run on the accelerator to profile.
 """
@@ -37,16 +40,18 @@ def ondevice_loop_time(stage_fn, gen_fn, consume_fn, n1=3, n2=23):
             return acc + consume_fn(stage_fn(x))
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    f = jax.jit(loop, static_argnums=0)
+    f = jax.jit(loop)
     for n in (n1, n2):
-        jax.block_until_ready(f(n, key))
+        float(f(n, key))
 
     def t(n, s):
+        # scalar transfer forces a true drain (block_until_ready can return
+        # early on tunnel backends)
         t0 = time.perf_counter()
-        jax.block_until_ready(f(n, jax.random.PRNGKey(s)))
+        float(f(n, jax.random.PRNGKey(s)))
         return time.perf_counter() - t0
 
-    return (t(n2, 1) - t(n1, 2)) / (n2 - n1)
+    return (min(t(n2, 1), t(n2, 2)) - min(t(n1, 3), t(n1, 4))) / (n2 - n1)
 
 
 def main() -> None:
@@ -57,7 +62,9 @@ def main() -> None:
                                     pair_sum_maps)
     from radar_tpu.ops.dbf import dbf
     from radar_tpu.ops.mtd import mtd
-    from radar_tpu.ops.pulse_compression import make_plan, pulse_compress
+    from radar_tpu.ops.pulse_compression import (make_matmul_plan,
+                                                 make_plan, pulse_compress,
+                                                 pulse_compress_matmul)
     from radar_tpu.pipeline.frame import measure_consts
     from radar_tpu.sim.echo import add_noise, synthesize_echoes
     from radar_tpu.sim.scenario import TargetBatch
@@ -66,6 +73,7 @@ def main() -> None:
     cfg = full_config()
     pre = precompute(cfg)
     plan = make_plan(pre)
+    mplan = make_matmul_plan(pre)
     mc = measure_consts(cfg, pre, jnp.float32)
     ip = cfg.interp
     dbf_w = np.asarray(pre.dbf_w)
@@ -82,7 +90,9 @@ def main() -> None:
             return (a[..., 0] + 1j * a[..., 1]).astype(jnp.complex64)
         return gen
 
-    r_sum = lambda y: jnp.real(jnp.sum(y))
+    # nonlinear consume: sum(|y|) — a plain sum of a linear stage gets
+    # algebraically factored through the stage and the stage vanishes
+    r_sum = lambda y: jnp.sum(jnp.abs(y))
     results = {"device": jax.devices()[0].device_kind}
 
     def record(name, stage_fn, gen, consume=r_sum):
@@ -97,7 +107,9 @@ def main() -> None:
            lambda k: add_noise(k, synthesize_echoes(tb, pre, cfg)),
            lambda k: k, r_sum)
     record("dbf", lambda x: dbf(x, dbf_w, "v8"), cxgen((p, s, c)))
-    record("pulse_compress", lambda x: pulse_compress(x, pre, plan),
+    record("pulse_compress_matmul",
+           lambda x: pulse_compress_matmul(x, mplan), cxgen((p, s, b)))
+    record("pulse_compress_fft", lambda x: pulse_compress(x, pre, plan),
            cxgen((p, s, b)))
     record("mtd", lambda x: mtd(x, mtd_win, None), cxgen((p, g, b)))
     record("pair+cfar",

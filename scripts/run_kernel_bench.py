@@ -1,10 +1,14 @@
-"""Per-kernel and end-to-end benchmarks on the available accelerator
-(BASELINE.json metrics: "range-Doppler samples/s/chip" for the DBF matmul
-and matched-filter FFT kernels, frames/s at 64ch x 256 pulses, MUSIC at 128
-elements). Writes results/kernel_bench.json.
+"""Per-kernel benchmarks on the available accelerator (BASELINE.json
+metrics: "range-Doppler samples/s/chip" for the DBF matmul and matched-filter
+kernels, MUSIC at 128 elements). Writes results/kernel_bench.json.
 
-NB on the tunnel backend: all timings use the two-point slope method and run
-BEFORE any device->host transfer (a transfer degrades dispatch pipelining).
+Methodology (tunnel-TPU-safe — see .claude/skills/verify/SKILL.md):
+each kernel runs inside one on-device fori_loop with its input regenerated
+from the PRNG every iteration (a scaled input lets XLA hoist linear kernels
+out of the loop entirely) and its full output consumed into the loop carry;
+the generator-only loop cost is subtracted. Numbers are producer-fused
+throughput: the input may stream from the RNG without a HBM round trip,
+which matches how the kernels run inside the real fused pipeline.
 """
 
 from __future__ import annotations
@@ -21,79 +25,83 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def slope_time(fn, variants, n1=30, n2=200):
-    """Two-point slope timing cycling over distinct input tuples (identical
-    repeated inputs can be served from an execution cache on tunnel
-    backends, which inflates throughput past the speed of light)."""
-    for v in variants:
-        jax.block_until_ready(fn(*v))
+def ondevice_loop_time(stage_fn, gen_fn, consume_fn, n1=3, n2=23):
+    key = jax.random.PRNGKey(0)
 
-    def run(n):
+    def loop(n, k0):
+        def body(i, acc):
+            x = gen_fn(jax.random.fold_in(k0, i))
+            return acc + consume_fn(stage_fn(x))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    f = jax.jit(loop)
+    for n in (2, 2):
+        float(f(n, key))
+
+    def t(n, s):
+        # scalar transfer forces a true drain (block_until_ready can return
+        # early on tunnel backends)
         t0 = time.perf_counter()
-        for i in range(n):
-            out = fn(*variants[i % len(variants)])
-        jax.block_until_ready(out)
+        float(f(n, jax.random.PRNGKey(s)))
         return time.perf_counter() - t0
 
-    return (run(n2) - run(n1)) / (n2 - n1)
+    return (min(t(n2, 1), t(n2, 2)) - min(t(n1, 3), t(n1, 4))) / (n2 - n1)
 
 
 def main() -> None:
-    from radar_tpu.config.params import full_config, scaled_config
+    from radar_tpu.config.params import full_config
     from radar_tpu.ops.dbf import dbf
     from radar_tpu.ops.mtd import mtd
-    from radar_tpu.ops.pulse_compression import make_plan, pulse_compress
+    from radar_tpu.ops.pulse_compression import (make_matmul_plan,
+                                                 pulse_compress_matmul)
     from radar_tpu.waveform.precompute import precompute
 
-    results = {"device": jax.devices()[0].device_kind}
+    results = {"device": jax.devices()[0].device_kind,
+               "method": "on-device fori_loop, RNG input/iter, full consume"}
     cfg = full_config()
     pre = precompute(cfg)
-    plan = make_plan(pre)
+    mplan = make_matmul_plan(pre)
     p, s, c, b, g = (cfg.sig.prt_num, cfg.sig.point_prt, cfg.sig.channel_num,
                      cfg.sig.beam_num, cfg.sig.n_total_gate)
-    key = jax.random.PRNGKey(0)
-    iq = (jax.random.normal(key, (p, s, c))
-          + 1j * jax.random.normal(key, (p, s, c))).astype(jnp.complex64)
     w = np.asarray(pre.dbf_w)
-
-    def variants_of(x, k=4):
-        mk = jax.jit(lambda x, s: x * s)
-        return [(jax.block_until_ready(mk(x, 1.0 + 1e-6 * i)),)
-                for i in range(k)]
-
-    f_dbf = jax.jit(lambda x: dbf(x, w, "v8"))
-    dt = slope_time(f_dbf, variants_of(iq))
-    results["dbf_16ch_13beam"] = {
-        "ms": round(dt * 1e3, 4),
-        "input_msamples_per_s": round(p * s * c / dt / 1e6, 1),
-        "gflops": round(8 * p * s * c * b / dt / 1e9, 1)}
-
-    beams = jax.block_until_ready(f_dbf(iq))
-    f_pc = jax.jit(lambda x: pulse_compress(x, pre, plan))
-    dt = slope_time(f_pc, variants_of(beams))
-    results["pulse_compression_13beam"] = {
-        "ms": round(dt * 1e3, 4),
-        "output_msamples_per_s": round(p * g * b / dt / 1e6, 1)}
-
-    pc = jax.block_until_ready(f_pc(beams))
     mtd_win = np.asarray(pre.mtd_win, np.float32)
-    f_mtd = jax.jit(lambda x: mtd(x, mtd_win, None))
-    dt = slope_time(f_mtd, variants_of(pc))
-    results["mtd_332pt"] = {
-        "ms": round(dt * 1e3, 4),
-        "msamples_per_s": round(p * g * b / dt / 1e6, 1)}
 
-    # MUSIC at 128 elements (BASELINE config 4)
-    from radar_tpu.doa.music import music_spectrum_1d, covariance
+    def cxgen(shape):
+        def gen(k):
+            a = jax.random.normal(k, shape + (2,), jnp.float32)
+            return (a[..., 0] + 1j * a[..., 1]).astype(jnp.complex64)
+        return gen
+
+    # NB consume must be NONLINEAR in the kernel output: XLA's algebraic
+    # simplifier factors sum(linear_op(x)) into linear_op(sum(x)) and the
+    # kernel vanishes from the loop. sum(|y|) is not factorable.
+    r_sum = lambda y: jnp.sum(jnp.abs(y))
+
+    def record(name, fn, gen, extra):
+        base = ondevice_loop_time(lambda x: x, gen,
+                                  lambda y: jnp.real(y).ravel()[0])
+        dt = ondevice_loop_time(fn, gen, r_sum) - base
+        results[name] = {"ms": round(dt * 1e3, 3), **extra(dt)}
+        print(name, results[name], flush=True)
+
+    record("dbf_16ch_13beam", lambda x: dbf(x, w, "v8"), cxgen((p, s, c)),
+           lambda dt: {"input_msamples_per_s": round(p * s * c / dt / 1e6, 1),
+                       "gflops": round(8 * p * s * c * b / dt / 1e9, 1)})
+    record("pulse_compression_matmul",
+           lambda x: pulse_compress_matmul(x, mplan), cxgen((p, s, b)),
+           lambda dt: {"output_msamples_per_s": round(p * g * b / dt / 1e6,
+                                                      1)})
+    record("mtd_332pt", lambda x: mtd(x, mtd_win, None), cxgen((p, g, b)),
+           lambda dt: {"msamples_per_s": round(p * g * b / dt / 1e6, 1)})
+
+    from radar_tpu.doa.music import covariance, music_spectrum_1d
 
     d = cfg.sig.wavelength / 2
-    x = (jax.random.normal(key, (128, 1024))
-         + 1j * jax.random.normal(key, (128, 1024))).astype(jnp.complex64)
     scan = np.arange(-90.0, 90.0, 0.05)
-    f_music = jax.jit(lambda x: music_spectrum_1d(
-        covariance(x), 3, scan, d, cfg.sig.wavelength))
-    dt = slope_time(f_music, variants_of(x), n1=10, n2=60)
-    results["music_128el_1024snap_3600grid"] = {"ms": round(dt * 1e3, 3)}
+    record("music_128el_1024snap_3600grid",
+           lambda x: music_spectrum_1d(covariance(x), 3, scan, d,
+                                       cfg.sig.wavelength),
+           cxgen((128, 1024)), lambda dt: {})
 
     os.makedirs("results", exist_ok=True)
     with open("results/kernel_bench.json", "w") as f:
