@@ -133,6 +133,95 @@ def tracks_without_association(log: DetectionLog) -> list[Track]:
             for i in range(len(log))]
 
 
+def make_device_multiframe(cfg: RadarConfig, precomp=None,
+                           dtype=None):
+    """On-device multi-frame runner: kinematic state evolution (the v9.2
+    track model, v8_3:203-228) AND the per-frame processing chain run inside
+    ONE jitted ``lax.scan`` over frames — no host round trip per frame.
+
+    On a tunneled accelerator the host-side frame loop costs a dispatch +
+    result transfer per frame (~seconds each); this runs a whole
+    multi-frame scenario as one program.
+
+    Returns ``run(key, initial: TargetBatch, num_frames) -> (stacked
+    FrameResult [num_frames, ...], azimuth_deg [num_frames])``; feed the
+    stacked results to ``device_results_to_log`` for association."""
+    import jax.numpy as jnp
+
+    from .frame import make_frame_processor
+
+    process = make_frame_processor(cfg, precomp, dtype=dtype or jnp.complex64,
+                                   jit=False)
+    t_frame = cfg.sig.frame_time
+    deg_per_frame = cfg.scan.deg_per_frame(cfg.sig)
+
+    def run(key, initial: TargetBatch, num_frames: int):
+        r0 = jnp.asarray(initial.range_m, jnp.float32)
+        el0 = jnp.deg2rad(jnp.asarray(initial.elevation_deg, jnp.float32))
+        v0 = jnp.asarray(initial.velocity_ms, jnp.float32)
+        snr = jnp.asarray(initial.snr_db, jnp.float32)
+        const_h = r0 * jnp.sin(el0)
+        const_vg = v0 / jnp.cos(el0)
+        state0 = (jnp.asarray(cfg.scan.start_azimuth_deg, jnp.float32),
+                  r0 * jnp.cos(el0))
+
+        def step(state, frame_idx):
+            azimuth, r_ground = state
+            azimuth = jnp.mod(azimuth + deg_per_frame, 360.0)
+            r_ground = r_ground - const_vg * t_frame
+            r = jnp.sqrt(r_ground**2 + const_h**2)
+            el = jnp.rad2deg(jnp.arcsin(const_h / r))
+            v_rad = const_vg * jnp.cos(jnp.deg2rad(el))
+            tb = TargetBatch(r, v_rad, el, snr)
+            res = process(jax.random.fold_in(key, frame_idx), tb)
+            return (azimuth, r_ground), (res, azimuth)
+
+        _, (results, azimuths) = jax.lax.scan(
+            step, state0, jnp.arange(1, num_frames + 1))
+        return results, azimuths
+
+    return jax.jit(run, static_argnums=2)
+
+
+def device_results_to_log(results, azimuths) -> DetectionLog:
+    """Stacked device FrameResults [F, ...] -> host DetectionLog."""
+    log = DetectionLog.empty()
+    valid = np.asarray(results.targets.valid)
+    range_m = np.asarray(results.targets.range_m)
+    vel = np.asarray(results.targets.velocity_ms)
+    ang = np.asarray(results.targets.angle_deg)
+    power = np.asarray(results.targets.power)
+    az = np.asarray(azimuths)
+    for f in range(valid.shape[0]):
+        m = valid[f]
+        n = int(m.sum())
+        log.range_m = np.concatenate([log.range_m, range_m[f][m]])
+        log.velocity_ms = np.concatenate([log.velocity_ms, vel[f][m]])
+        log.elevation_deg = np.concatenate([log.elevation_deg, ang[f][m]])
+        log.power = np.concatenate([log.power, power[f][m]])
+        log.frame = np.concatenate([log.frame, np.full(n, f + 1)])
+        log.azimuth_deg = np.concatenate([log.azimuth_deg,
+                                          np.full(n, az[f])])
+    return log
+
+
+def run_multiframe_device(cfg: RadarConfig, initial_targets: TargetBatch,
+                          num_frames: int, seed: int = 0, precomp=None,
+                          dtype=None):
+    """Device-scan counterpart of ``run_multiframe``; same outputs."""
+    import jax.numpy as jnp  # noqa: F401
+
+    runner = make_device_multiframe(cfg, precomp, dtype)
+    results, azimuths = jax.block_until_ready(
+        runner(jax.random.PRNGKey(seed), initial_targets, num_frames))
+    log = device_results_to_log(results, azimuths)
+    if cfg.inter_frame.enable:
+        tracks = associate_tracks(log, cfg)
+    else:
+        tracks = tracks_without_association(log)
+    return log, tracks
+
+
 def run_multiframe(cfg: RadarConfig, initial_targets: TargetBatch,
                    num_frames: int, seed: int = 0, processor=None,
                    precomp=None, dtype=None, progress: bool = False):

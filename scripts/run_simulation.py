@@ -28,6 +28,10 @@ def main() -> None:
     ap.add_argument("--out", default="out_sim")
     ap.add_argument("--checkpoint", action="store_true",
                     help="persist per-frame measurement checkpoints")
+    ap.add_argument("--device-scan", action="store_true",
+                    help="run all frames inside one on-device lax.scan "
+                         "(no host round trip per frame; best on "
+                         "high-latency accelerators)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -49,8 +53,14 @@ def main() -> None:
     scene = default_two_target_scene()
 
     t0 = time.time()
-    log, tracks, scen = run_multiframe(cfg, scene, args.frames, seed=0,
-                                       precomp=pre, progress=True)
+    if args.device_scan:
+        from radar_tpu.pipeline.driver import run_multiframe_device
+
+        log, tracks = run_multiframe_device(cfg, scene, args.frames, seed=0,
+                                            precomp=pre)
+    else:
+        log, tracks, scen = run_multiframe(cfg, scene, args.frames, seed=0,
+                                           precomp=pre, progress=True)
     print(f"\nprocessed {args.frames} frames in {time.time() - t0:.2f}s: "
           f"{len(log)} detections -> {len(tracks)} tracks")
     for t in sorted(tracks, key=lambda t: -t.num_points)[:10]:

@@ -100,3 +100,23 @@ def test_monte_carlo_sweep_small():
     # theory bound array matches |k|sqrt(2)/sqrt(snr)
     assert res.theory_bound.shape == (3,)
     assert np.all(np.diff(res.theory_bound) < 0)
+
+
+def test_device_multiframe_matches_host_loop():
+    """The on-device lax.scan multi-frame runner reproduces the host-loop
+    driver (same per-frame PRNG keys; kinematics in f32 vs the host's f64
+    explain only sub-cell differences)."""
+    from radar_tpu.pipeline.driver import run_multiframe_device
+
+    cfg = small_test_config(channels=8, pulses=32)
+    tb = TargetBatch.make([3000.0], [15.0], [10.0], [18.0])
+    log_h, tracks_h, _ = run_multiframe(cfg, tb, num_frames=5, seed=0)
+    log_d, tracks_d = run_multiframe_device(cfg, tb, num_frames=5, seed=0)
+    assert len(log_d) == len(log_h)
+    np.testing.assert_array_equal(log_d.frame, log_h.frame)
+    np.testing.assert_allclose(log_d.range_m, log_h.range_m, atol=1.0)
+    np.testing.assert_allclose(log_d.velocity_ms, log_h.velocity_ms,
+                               atol=0.5)
+    np.testing.assert_allclose(log_d.azimuth_deg, log_h.azimuth_deg,
+                               atol=1e-3)
+    assert len(tracks_d) == len(tracks_h)
