@@ -73,6 +73,12 @@ class Track(NamedTuple):
     num_points: int
     member_idx: np.ndarray   # log rows of this track (for plots/tests)
 
+    @property
+    def height_m(self) -> float:
+        """Target altitude H = R*sin(El) — the v7_7 stage-2 derived field
+        (main_simulate_echoes_with_array_v7_7.m:847)."""
+        return self.range_m * float(np.sin(np.deg2rad(self.elevation_deg)))
+
 
 def associate_tracks(log: DetectionLog, cfg: RadarConfig) -> list[Track]:
     """5D BFS association over the cumulative log (v8_3:276-335)."""

@@ -187,6 +187,28 @@ def stage4_measurement(prelim: Detections, mtd_results: jnp.ndarray,
         valid=p.valid)
 
 
+def istc_compensate(iq: jnp.ndarray, enable: bool = False) -> jnp.ndarray:
+    """Sensitivity-time-control (STC) compensation hook.
+
+    The reference calls ``fun_iSTC`` before pulse compression but the
+    function is missing from the repo and the call is commented out
+    (debug_simulated_data_processing_v2.m:329, SURVEY.md section 2.4) — the
+    shipped behavior is identity, preserved here; the hook exists so a
+    measured STC curve can be applied when available."""
+    del enable
+    return iq
+
+
+def range_concat_dedup(pc: jnp.ndarray) -> jnp.ndarray:
+    """Range de-duplication hook (``fun_lss_range_concate``).
+
+    Missing from the reference repo and commented out at its only call site
+    (debug_simulated_data_processing_v2.m:337) — the shipped pipeline keeps
+    all 3404 gates; identity here, kept as the extension point for overlap
+    removal between pulse segments."""
+    return pc
+
+
 def run_realdata_pipeline(raw_iq: jnp.ndarray, cfg: RadarConfig,
                           freq_no: int = 6):
     """Full staged chain on gated raw IQ [P, 3404, C]; returns
