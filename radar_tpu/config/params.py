@@ -13,7 +13,6 @@ static argument; per-frame array state (targets, noise keys) lives elsewhere.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Tuple
 
 

@@ -26,7 +26,6 @@ from ..config.params import RadarConfig
 from ..sim.echo import add_noise, synthesize_echoes
 from ..sim.scenario import TargetBatch
 from ..waveform.precompute import Precomputed, precompute
-from .frame import make_frame_processor
 
 
 class SweepResult(NamedTuple):

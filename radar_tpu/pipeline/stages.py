@@ -38,7 +38,6 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,7 +47,7 @@ from ..measure.estimate import estimate_parameters
 from ..ops.cfar import Detections, extract_detections
 from ..ops.cfar1d import segmented_cfar_1d, zero_velocity_mask
 from ..ops.dbf import dbf
-from ..ops.mtd import mtd, zero_velocity_suppress
+from ..ops.mtd import mtd
 from ..pipeline.frame import MeasureConsts
 from ..utils.signal import kaiser_window
 

@@ -21,7 +21,7 @@ The servo azimuth advances ``rpm * 6 * T_frame`` degrees per frame, mod 360
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import numpy as np
 
