@@ -87,3 +87,25 @@ def test_extract_detections_order_and_capacity():
         dets2.v_idx, dets2.r_idx, dets2.pair_idx, dets2.valid) if ok]
     assert got2 == sorted(hits, key=lambda t: (t[2], t[1], t[0]))[:2]
     assert int(dets2.count) == 4
+
+
+def test_first_k_true_indices_random():
+    """Direct unit test of the hierarchical first-K extraction vs
+    np.nonzero across densities, row-boundary straddles, and overflow."""
+    from radar_tpu.ops.cfar import first_k_true_indices
+
+    rng = np.random.default_rng(0)
+    for density, cap in [(0.0, 16), (1e-4, 64), (5e-3, 32), (0.5, 8)]:
+        flat = rng.uniform(size=20000) < density
+        idx, valid = first_k_true_indices(jnp.asarray(flat), cap,
+                                          row_width=512)
+        want = np.nonzero(flat)[0]
+        got = np.asarray(idx)[np.asarray(valid)]
+        np.testing.assert_array_equal(got, want[:cap])
+        assert int(np.asarray(valid).sum()) == min(len(want), cap)
+    # hits exactly at row boundaries
+    flat = np.zeros(4096, bool)
+    flat[[0, 511, 512, 1023, 1024, 4095]] = True
+    idx, valid = first_k_true_indices(jnp.asarray(flat), 8, row_width=512)
+    np.testing.assert_array_equal(np.asarray(idx)[np.asarray(valid)],
+                                  [0, 511, 512, 1023, 1024, 4095])
