@@ -202,6 +202,9 @@ class RadarConfig:
     # Monopulse ratio on |RDM| (v8, fun_process_single_frame.m:282-285) or on
     # the complex RDM values (v7_6, main_plot_snr_vs_angle_error.m:455-458)
     monopulse_complex: bool = False
+    # MTD backend: "matmul" (constant DFT matrix with window+fftshift
+    # folded, MXU) or "fft"
+    mtd_method: str = "matmul"
     # Pulse-compression backend: "matmul" (banded-Toeplitz MXU matmuls,
     # exact direct convolution, fastest on TPU) or "fft" (frequency-domain
     # fast convolution, the reference's formulation)

@@ -26,6 +26,32 @@ def mtd(pc: jnp.ndarray, mtd_win: jnp.ndarray,
     return jnp.fft.fftshift(y, axes=0)
 
 
+def make_mtd_matrix(mtd_win, num_pulses: int,
+                    fft_len: int | None = None) -> "np.ndarray":
+    """Constant [n_dop, pulses] matrix M with the kaiser window, the
+    slow-time DFT and the fftshift row reordering folded in:
+    ``rdm = einsum('vp,pgb->vgb', M, pc)`` == ``mtd(pc, win, fft_len)``.
+
+    One MXU matmul against a host-precomputed constant instead of an FFT
+    custom call (XLA's TPU FFT regenerates its twiddle factors with
+    sine/cosine on every invocation)."""
+    import numpy as np
+
+    n = fft_len or num_pulses
+    p = np.arange(num_pulses)
+    v = np.arange(n)
+    dft = np.exp(-2j * np.pi * np.outer(v, p) / n)         # [n, P]
+    m = dft * np.asarray(mtd_win)[None, :]
+    return np.fft.fftshift(m, axes=0).astype(np.complex128)
+
+
+def mtd_matmul(pc: jnp.ndarray, mtd_matrix) -> jnp.ndarray:
+    """MTD via the folded constant matrix (see make_mtd_matrix)."""
+    m = jnp.asarray(mtd_matrix, pc.dtype)
+    return jnp.einsum("vp,pgb->vgb", m, pc,
+                      preferred_element_type=pc.dtype)
+
+
 def zero_velocity_suppress(rdm: jnp.ndarray, velocity_axis: jnp.ndarray,
                            v_half_width_ms: float) -> jnp.ndarray:
     """Zero out Doppler bins within +/- v_half_width_ms of zero velocity —

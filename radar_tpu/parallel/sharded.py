@@ -33,7 +33,7 @@ from ..config.params import RadarConfig
 from ..measure.estimate import estimate_parameters
 from ..ops.cfar import extract_detections, goca_cfar_2d, pair_sum_maps
 from ..ops.dbf import dbf
-from ..ops.mtd import mtd
+from ..ops.mtd import make_mtd_matrix, mtd, mtd_matmul
 from ..ops.pulse_compression import (make_matmul_plan, make_plan,
                                      pulse_compress, pulse_compress_matmul)
 from ..pipeline.frame import FrameResult, measure_consts
@@ -59,6 +59,9 @@ def make_sharded_frame_processor(cfg: RadarConfig, mesh: Mesh,
     # during lowering, which tunnel TPU backends may not support)
     dbf_w = np.asarray(precomp.dbf_w)
     mtd_win = np.asarray(precomp.mtd_win, real_dtype)
+    mtd_mat = (make_mtd_matrix(precomp.mtd_win, cfg.sig.prt_num,
+                               cfg.mtd_fft_len)
+               if cfg.mtd_method == "matmul" else None)
     mc = measure_consts(cfg, precomp, real_dtype)
     ip = cfg.interp
 
@@ -81,7 +84,8 @@ def make_sharded_frame_processor(cfg: RadarConfig, mesh: Mesh,
         pc = cs(pc_out, beams_spec)
         # reshard pulses->gates for the slow-time FFT (Ulysses-style swap)
         pc = cs(pc, gate_spec)
-        rdm = cs(mtd(pc, mtd_win, cfg.mtd_fft_len), gate_spec)
+        rdm = cs(mtd_matmul(pc, mtd_mat) if mtd_mat is not None
+                 else mtd(pc, mtd_win, cfg.mtd_fft_len), gate_spec)
         maps = cs(pair_sum_maps(rdm), gate_spec)
         mask, _ = goca_cfar_2d(maps, cfg.cfar)
         # detection extraction & everything after is tiny: replicate

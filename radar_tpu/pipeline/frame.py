@@ -28,7 +28,7 @@ from ..measure.estimate import ParamDetections, estimate_parameters
 from ..ops.cfar import (Detections, extract_detections, goca_cfar_2d,
                         pair_sum_maps)
 from ..ops.dbf import dbf
-from ..ops.mtd import mtd
+from ..ops.mtd import make_mtd_matrix, mtd, mtd_matmul
 from ..ops.pulse_compression import (make_matmul_plan, make_plan,
                                      pulse_compress, pulse_compress_matmul)
 from ..sim.echo import add_noise, synthesize_echoes
@@ -113,6 +113,9 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
     # during lowering, which tunnel TPU backends may not support)
     dbf_w = np.asarray(precomp.dbf_w)
     mtd_win = np.asarray(precomp.mtd_win, real_dtype)
+    mtd_mat = (make_mtd_matrix(precomp.mtd_win, cfg.sig.prt_num,
+                               cfg.mtd_fft_len)
+               if cfg.mtd_method == "matmul" else None)
     mc = measure_consts(cfg, precomp, real_dtype)
     ip = cfg.interp
 
@@ -124,7 +127,8 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
             pc = pulse_compress_matmul(beams, mplan)
         else:
             pc = pulse_compress(beams, precomp, plan)
-        rdm = mtd(pc, mtd_win, cfg.mtd_fft_len)
+        rdm = (mtd_matmul(pc, mtd_mat) if mtd_mat is not None
+               else mtd(pc, mtd_win, cfg.mtd_fft_len))
         if cfg.use_pallas_cfar:
             from ..ops.pallas_kernels import goca_cfar_2d_pallas
 

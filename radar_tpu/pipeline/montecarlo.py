@@ -57,7 +57,7 @@ def make_trial_fn(cfg: RadarConfig, precomp: Precomputed,
     from ..measure.estimate import estimate_parameters
     from ..ops.cfar import extract_detections, goca_cfar_2d, pair_sum_maps
     from ..ops.dbf import dbf
-    from ..ops.mtd import mtd
+    from ..ops.mtd import make_mtd_matrix, mtd, mtd_matmul
     from ..ops.pulse_compression import (make_matmul_plan, make_plan,
                                          pulse_compress, pulse_compress_matmul)
     from .frame import FrameResult, measure_consts
@@ -70,6 +70,9 @@ def make_trial_fn(cfg: RadarConfig, precomp: Precomputed,
     # during lowering, which tunnel TPU backends may not support)
     dbf_w = np.asarray(precomp.dbf_w)
     mtd_win = np.asarray(precomp.mtd_win, real_dtype)
+    mtd_mat = (make_mtd_matrix(precomp.mtd_win, cfg.sig.prt_num,
+                               cfg.mtd_fft_len)
+               if cfg.mtd_method == "matmul" else None)
     mc = measure_consts(cfg, precomp, real_dtype)
     ip = cfg.interp
 
@@ -78,7 +81,8 @@ def make_trial_fn(cfg: RadarConfig, precomp: Precomputed,
         beams = dbf(noisy, dbf_w, cfg.dbf_variant)
         pc = (pulse_compress_matmul(beams, mplan) if mplan is not None
               else pulse_compress(beams, precomp, plan))
-        rdm = mtd(pc, mtd_win, cfg.mtd_fft_len)
+        rdm = (mtd_matmul(pc, mtd_mat) if mtd_mat is not None
+               else mtd(pc, mtd_win, cfg.mtd_fft_len))
         maps = pair_sum_maps(rdm)
         mask, _ = goca_cfar_2d(maps, cfg.cfar)
         dets = extract_detections(mask, maps, cfg.cfar.max_detections)

@@ -47,31 +47,37 @@ def radar_equation_amplitude(range_m, rcs, wavelength: float,
 
 @partial(jax.jit, static_argnames=("num_pulses", "num_channels",
                                    "element_spacing", "wavelength", "prt",
-                                   "fs", "c", "dtype"))
+                                   "fs", "c", "dtype", "nfft"))
 def _synthesize(range_m, velocity_ms, elevation_deg, amp, tx_pulse,
                 num_pulses: int, num_channels: int, element_spacing: float,
-                wavelength: float, prt: float, fs: float, c: float, dtype):
+                wavelength: float, prt: float, fs: float, c: float, dtype,
+                nfft: int):
     num_samples = tx_pulse.shape[0]
     real_dtype = jnp.finfo(dtype).dtype
 
     delay_s = 2.0 * range_m / c
     delay_samples = jnp.round(delay_s * fs).astype(jnp.int32)  # [K]
 
-    # Delayed base pulse per target: integer circular shift applied in the
-    # frequency domain (ifft(fft(tx) * exp(-2pi*j*k*d/S))) + front mask.
-    # Mathematically identical to a dynamic roll, but gather-free: dynamic
-    # gathers are pathological on some TPU runtimes (untransferable output
-    # layouts, erratic execution), while batched FFTs are fast. The phase
-    # index k*d is reduced mod S in int32 so float32 phase stays exact.
-    sample_idx = jnp.arange(num_samples)
-    real_one = jnp.ones((), real_dtype)
-    tx_f = jnp.fft.fft(tx_pulse)  # folded to a constant per program
-    kd = (sample_idx[None, :] * delay_samples[:, None]) % num_samples  # [K,S]
-    phase = (-2.0 * jnp.pi) * kd.astype(real_dtype) / num_samples
+    # Delayed base pulse per target: integer LINEAR shift applied in the
+    # frequency domain on a power-of-2 grid: ifft(fft(tx, nfft) *
+    # exp(-2pi*j*k*d/nfft))[:S]. Gather-free (dynamic gathers are
+    # pathological on some TPU runtimes: untransferable output layouts,
+    # erratic execution) and on the power-of-2 FFT fast path (a length-S
+    # transform goes through Bluestein and costs several ms). ``nfft`` >=
+    # S + tx support guarantees no wraparound for any delay < S, so this is
+    # exactly the reference's zero-padded shift (ref :66-69). The phase
+    # index k*d is reduced mod nfft with a bitwise AND so float32 phase
+    # stays exact.
+    sample_idx = jnp.arange(nfft)
+    tx_f = jnp.fft.fft(tx_pulse, n=nfft)  # folded to a constant per program
+    kd = (sample_idx[None, :] * delay_samples[:, None]) & (nfft - 1)  # [K,N]
+    phase = (-2.0 * jnp.pi) * kd.astype(real_dtype) / nfft
     shift = jnp.exp(1j * phase).astype(dtype)
-    rolled = jnp.fft.ifft(tx_f[None, :] * shift, axis=-1).astype(dtype)
+    rolled = jnp.fft.ifft(tx_f[None, :] * shift,
+                          axis=-1)[..., :num_samples].astype(dtype)
     valid_delay = (delay_samples > 0) & (delay_samples < num_samples)
-    mask = (sample_idx[None, :] >= delay_samples[:, None]) & valid_delay[:, None]
+    mask = ((jnp.arange(num_samples)[None, :] >= delay_samples[:, None])
+            & valid_delay[:, None])
     base = jnp.where(mask, rolled, 0.0).astype(dtype)
 
     # slow-time Doppler phasor per target
@@ -103,6 +109,14 @@ def synthesize_echoes(targets, precomp, cfg: RadarConfig,
     model) or ones (v4 model)."""
     sig = cfg.sig
     tx = jnp.asarray(precomp.tx_pulse, dtype)
+    # smallest power of 2 covering S + tx support: linear-shift FFT grid
+    import numpy as _np
+
+    support = int(_np.max(_np.nonzero(_np.abs(
+        _np.asarray(precomp.tx_pulse)) > 0)[0])) + 1
+    nfft = 1
+    while nfft < sig.point_prt + support:
+        nfft *= 2
     if amplitudes is None:
         snr_lin = 10.0 ** (jnp.asarray(targets.snr_db) / 10.0)
         amplitudes = jnp.sqrt(snr_lin * P_NOISE_FLOOR
@@ -112,7 +126,7 @@ def synthesize_echoes(targets, precomp, cfg: RadarConfig,
         jnp.asarray(targets.elevation_deg), jnp.asarray(amplitudes),
         tx, num_pulses=sig.prt_num, num_channels=sig.channel_num,
         element_spacing=cfg.array.element_spacing, wavelength=sig.wavelength,
-        prt=sig.prt, fs=sig.fs, c=sig.c, dtype=dtype)
+        prt=sig.prt, fs=sig.fs, c=sig.c, dtype=dtype, nfft=nfft)
 
 
 def add_noise(key: jax.Array, raw_iq: jax.Array,
