@@ -68,8 +68,11 @@ def make_sharded_frame_processor(cfg: RadarConfig, mesh: Mesh,
     pulse_axes = (AXIS_DP, AXIS_CPI)
     cube_spec = NamedSharding(mesh, P(pulse_axes, None, AXIS_CH))
     beams_spec = NamedSharding(mesh, P(pulse_axes, None, None))
-    gate_spec = NamedSharding(mesh, P(None, (AXIS_DP, AXIS_CPI, AXIS_CH),
-                                      None))
+    # gates shard over the SAME axis group as pulses: the pulses->gates
+    # reshard then maps onto an all_to_all within fixed device groups; adding
+    # the ch axis here forces GSPMD into a full rematerialization
+    # ("involuntary full remat" warning) because the source is ch-replicated
+    gate_spec = NamedSharding(mesh, P(None, (AXIS_DP, AXIS_CPI), None))
     repl = NamedSharding(mesh, P())
     cs = jax.lax.with_sharding_constraint
 
