@@ -48,6 +48,14 @@ def main() -> None:
 
     np.savez(os.path.join(OUT_DIR, "dbf_coeffs.npz"), dbf=dbf)
     np.savez(os.path.join(OUT_DIR, "angle_k.npz"), angle_k=angle_k)
+
+    # FIR.mat: 12-tap decimation low-pass used by the DDC tutorial
+    # (simulation_learn.m:94-102)
+    import scipy.io
+
+    fir = scipy.io.loadmat(os.path.join(REF_SIM, "FIR.mat"))["Num"].ravel()
+    print("DDC FIR taps:", fir.shape)
+    np.savez(os.path.join(OUT_DIR, "ddc_fir.npz"), taps=fir)
     print("wrote", OUT_DIR)
 
 

@@ -96,3 +96,41 @@ def test_zero_velocity_suppress():
     assert vmask.sum() > 0
     assert np.all(out[vmask] == 0)
     assert np.all(out[~vmask] == 1)
+
+
+def test_ddc_chain():
+    """Mixing/decimation tutorial chain (simulation_learn.m:94-110): a tone
+    at f0 mixes to DC, survives the measured 12-tap low-pass, and decimation
+    by 4 preserves it; a tone offset past the filter cutoff is attenuated."""
+    import scipy.signal
+
+    from radar_tpu.config import assets
+    from radar_tpu.ops.ddc import ddc, decimation_filter, mix_to_baseband
+
+    fs, f0 = 25e6, 6e6
+    n = 4096
+    t = np.arange(n) / fs
+    tone = np.exp(1j * 2 * np.pi * f0 * t).astype(np.complex64)
+    out = np.asarray(ddc(jnp.asarray(tone), f0, fs, factor=4))
+    assert out.shape == (n // 4,)
+    # DC tone passes with the filter's DC gain
+    dc_gain = np.abs(assets.ddc_fir_taps().sum())
+    np.testing.assert_allclose(np.abs(out[50:]).mean(), dc_gain, rtol=0.05)
+
+    # decimation filter == MATLAB filter(Num, 1, x)
+    rng = np.random.default_rng(0)
+    x = (rng.normal(size=300) + 1j * rng.normal(size=300)).astype(complex)
+    got = np.asarray(decimation_filter(jnp.asarray(x)))
+    want = scipy.signal.lfilter(assets.ddc_fir_taps(), [1.0], x)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # an out-of-band image (offset 10 MHz after mixing) is attenuated by
+    # the filter's actual response there (the measured 12-tap filter is
+    # short: ~8 dB at 10 MHz)
+    img = np.exp(1j * 2 * np.pi * (f0 + 10e6) * t).astype(np.complex64)
+    out_img = np.asarray(ddc(jnp.asarray(img), f0, fs, factor=4))
+    h10 = np.abs(np.sum(assets.ddc_fir_taps()
+                        * np.exp(-1j * 2 * np.pi * 10e6 / fs
+                                 * np.arange(12))))
+    np.testing.assert_allclose(np.abs(out_img[50:]).mean(), h10, rtol=0.1)
+    assert h10 < 0.5 * dc_gain
