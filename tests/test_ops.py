@@ -134,3 +134,35 @@ def test_ddc_chain():
                                  * np.arange(12))))
     np.testing.assert_allclose(np.abs(out_img[50:]).mean(), h10, rtol=0.1)
     assert h10 < 0.5 * dc_gain
+
+
+def test_mtd_matmul_matches_fft():
+    """Constant-DFT-matrix MTD (window+fftshift folded) == FFT formulation."""
+    from radar_tpu.ops.mtd import make_mtd_matrix, mtd_matmul
+
+    cfg = small_test_config(pulses=32)
+    pre = precompute(cfg)
+    rng = np.random.default_rng(9)
+    pc = _random_iq(rng, (32, 40, 3))
+    for fft_len in (None, 64):
+        want = np.asarray(mtd(jnp.asarray(pc), jnp.asarray(pre.mtd_win),
+                              fft_len))
+        m = make_mtd_matrix(pre.mtd_win, 32, fft_len)
+        got = np.asarray(mtd_matmul(jnp.asarray(pc), m))
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+def test_pc_matmul_matches_fft_paths():
+    """Banded-Toeplitz matmul PC == FFT PC == oracle (already covered for
+    the oracle; this pins matmul vs fft directly)."""
+    from radar_tpu.ops.pulse_compression import (make_matmul_plan,
+                                                 pulse_compress_matmul)
+
+    cfg = small_test_config(channels=8, pulses=2, beams=2)
+    pre = precompute(cfg)
+    rng = np.random.default_rng(10)
+    beams = _random_iq(rng, (2, cfg.sig.point_prt, 2))
+    want = np.asarray(pulse_compress(jnp.asarray(beams), pre))
+    got = np.asarray(pulse_compress_matmul(jnp.asarray(beams),
+                                           make_matmul_plan(pre)))
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
