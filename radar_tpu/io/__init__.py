@@ -1,0 +1,2 @@
+from .checkpoint import (CheckpointStore, SaveOptions, load_sim_frame,
+                         save_detection_log_json, save_sim_frame)
