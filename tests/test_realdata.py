@@ -155,3 +155,35 @@ def test_checkpoint_store_roundtrip(tmp_path):
     r, ang, idx = load_sim_frame(fp)
     np.testing.assert_array_equal(r, raw)
     assert ang == 123.4 and idx == 0
+
+
+def test_stage2_suppress_flag_and_hooks():
+    """Zero-velocity suppression toggle and the identity extension hooks."""
+    import jax
+
+    from radar_tpu.pipeline.stages import (istc_compensate,
+                                           range_concat_dedup, stage2_mtd)
+
+    sig = SigConfig(prt_num=32, channel_num=16, beam_num=13)
+    cfg = RadarConfig(sig=sig)
+    rng = np.random.default_rng(0)
+    iq = jnp.asarray((rng.normal(size=(32, 3404, 13))
+                      + 1j * rng.normal(size=(32, 3404, 13))), jnp.complex64)
+    rdm_s, _ = stage2_mtd(iq, cfg, suppress_zero_vel=True)
+    rdm_n, _ = stage2_mtd(iq, cfg, suppress_zero_vel=False)
+    center = 16
+    assert np.all(np.asarray(rdm_s)[center] == 0)
+    assert not np.all(np.asarray(rdm_n)[center] == 0)
+    # hooks are identity (reference's fun_iSTC / fun_lss_range_concate are
+    # missing/commented out)
+    np.testing.assert_array_equal(np.asarray(istc_compensate(iq)),
+                                  np.asarray(iq))
+    np.testing.assert_array_equal(np.asarray(range_concat_dedup(iq)),
+                                  np.asarray(iq))
+
+
+def test_track_height_property():
+    from radar_tpu.pipeline.driver import Track
+
+    t = Track(1000.0, 10.0, 30.0, 0.0, 1.0, 1, 2, 2, np.array([0, 1]))
+    np.testing.assert_allclose(t.height_m, 1000.0 * np.sin(np.deg2rad(30.0)))
