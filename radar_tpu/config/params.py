@@ -202,6 +202,10 @@ class RadarConfig:
     # Monopulse ratio on |RDM| (v8, fun_process_single_frame.m:282-285) or on
     # the complex RDM values (v7_6, main_plot_snr_vs_angle_error.m:455-458)
     monopulse_complex: bool = False
+    # Sliding-CPI window slices per frame for the two-frame real-data MTD
+    # (main_test_with_simulated_data.m:80 config.mtd.win_size; see
+    # pipeline/stages.stage2_mtd_windowed)
+    mtd_win_size: int = 4
     # MTD backend: "matmul" (constant DFT matrix with window+fftshift
     # folded, MXU) or "fft"
     mtd_method: str = "matmul"

@@ -13,9 +13,10 @@ debug_simulated_data_processing_v2.m (SURVEY.md section 2.4):
            debug_v2:259-405). NB the adapter calls a two-frame windowed
            variant (iq1, iq2, win_size=4) that the committed
            process_stage2_mtd.m does not implement (signature mismatch,
-           main_test:238 vs process_stage2_mtd.m:1); like the committed
-           version, this implementation processes one full-frame slice and
-           accepts (and ignores) a second frame.
+           main_test:238 vs process_stage2_mtd.m:1); ``stage2_mtd``
+           matches the committed file (one full-frame slice, second frame
+           accepted and ignored) while ``stage2_mtd_windowed`` implements
+           the sliding-CPI behavior the adapter's win_size=4 implies.
   stage 3  sum-beam detection: adjacent-pair |MTD| sums through the
            segmented 1D CA-GO/SO CFAR (ops/cfar1d.py); returns the
            preliminary detection log and per-pair CFAR flag cubes
@@ -38,6 +39,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,20 +78,15 @@ def _segment_pulses(cfg: RadarConfig):
     return p1, p2, p3
 
 
-def stage2_mtd(iq_beams: jnp.ndarray, cfg: RadarConfig,
-               iq_beams_2: jnp.ndarray | None = None,
-               suppress_zero_vel: bool = True
-               ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """PC + MTD per beam on gated [P, 3404, B] beam data; returns
-    (mtd_results, pc_results). A second frame is accepted for signature
-    parity with the adapter but ignored (see module docstring)."""
-    del iq_beams_2
+def _stage2_pulse_compress(iq_beams: jnp.ndarray, cfg: RadarConfig
+                           ) -> jnp.ndarray:
+    """Segment-local matched filtering on gated [P, 3404, B] beam data,
+    'same'-aligned (peak at the echo's gate)."""
     sig = cfg.sig
     dtype = iq_beams.dtype
     pulses = _segment_pulses(cfg)
     splits = sig.point_prt_segments
 
-    # segment-local matched filtering, 'same'-aligned (peak at echo gate)
     x = jnp.swapaxes(iq_beams, 1, 2)  # [P, B, G]
     pieces = []
     start = 0
@@ -107,18 +104,75 @@ def stage2_mtd(iq_beams: jnp.ndarray, cfg: RadarConfig,
         y = jnp.fft.ifft(xf * hf, n=nfft, axis=-1)
         pieces.append(y[..., lh - 1: lh - 1 + width])
         start += width
-    pc = jnp.swapaxes(jnp.concatenate(pieces, axis=-1), 1, 2).astype(dtype)
+    return jnp.swapaxes(jnp.concatenate(pieces, axis=-1), 1, 2).astype(dtype)
 
+
+def _suppress_zero_velocity(rdm: jnp.ndarray, cfg: RadarConfig
+                            ) -> jnp.ndarray:
+    """Zero the SAME Doppler index band the CFAR stage will mask (center
+    +/- MTD_0v_num); an axis-based band would zero rows the CFAR mask does
+    not cover and every all-zero row would fire the ``>=`` detector across
+    all gates."""
+    n0v = int(cfg.cfar1d.mtd_zero_vel_ms / _delta_v_bin(cfg.sig))
+    band = ~np.asarray(zero_velocity_mask(cfg.sig.prt_num, n0v))
+    return jnp.where(jnp.asarray(band)[:, None, None], 0.0, rdm)
+
+
+def stage2_mtd(iq_beams: jnp.ndarray, cfg: RadarConfig,
+               iq_beams_2: jnp.ndarray | None = None,
+               suppress_zero_vel: bool = True
+               ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """PC + MTD per beam on gated [P, 3404, B] beam data; returns
+    (mtd_results, pc_results). A second frame is accepted for signature
+    parity with the adapter but ignored (see module docstring); for the
+    sliding-CPI behavior the adapter's win_size implies, use
+    ``stage2_mtd_windowed``."""
+    del iq_beams_2
+    sig = cfg.sig
+    pc = _stage2_pulse_compress(iq_beams, cfg)
     win = kaiser_window(sig.prt_num, 4.5)
-    rdm = mtd(pc, jnp.asarray(win, jnp.finfo(dtype).dtype))
+    rdm = mtd(pc, jnp.asarray(win, jnp.finfo(iq_beams.dtype).dtype))
     if suppress_zero_vel:
-        # suppress the SAME index band the CFAR stage will mask
-        # (center +/- MTD_0v_num); an axis-based band would zero rows the
-        # CFAR mask does not cover and every all-zero row would fire the
-        # ``>=`` detector across all gates
-        n0v = int(cfg.cfar1d.mtd_zero_vel_ms / _delta_v_bin(sig))
-        band = ~np.asarray(zero_velocity_mask(sig.prt_num, n0v))
-        rdm = jnp.where(jnp.asarray(band)[:, None, None], 0.0, rdm)
+        rdm = _suppress_zero_velocity(rdm, cfg)
+    return rdm, pc
+
+
+def stage2_mtd_windowed(iq_beams: jnp.ndarray, iq_beams_2: jnp.ndarray,
+                        cfg: RadarConfig, win_size: int | None = None,
+                        suppress_zero_vel: bool = True
+                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-frame sliding-CPI MTD — the behavior the adapter's call
+    signature implies but the committed reference file dropped.
+
+    The adapter passes TWO consecutive frames plus ``config.mtd.win_size=4``
+    (main_test_with_simulated_data.m:80,238) to a stage whose committed
+    implementation takes one frame and hardcodes a single full-frame slice
+    (process_stage2_mtd.m:33-46, SURVEY.md section 2.4 signature-mismatch
+    note). This reconstructs the intended windowing: pulse-compress the
+    664-pulse two-frame buffer once (PC is per-pulse), then run a
+    full-length P-pulse MTD at ``win_size`` window offsets hopping by
+    P/win_size into frame 2 — slice 0 is exactly the single-frame result,
+    later slices straddle the frame boundary so a target entering late in
+    frame 1 still integrates a full CPI.
+
+    Returns ``(rdm_slices [win_size, P, 3404, B], pc [2P, 3404, B])``.
+    """
+    sig = cfg.sig
+    p = sig.prt_num
+    if win_size is None:
+        win_size = cfg.mtd_win_size
+    if p % win_size != 0:
+        raise ValueError(f"prt_num {p} is not divisible by win_size "
+                         f"{win_size}")
+    hop = p // win_size
+    pc = _stage2_pulse_compress(
+        jnp.concatenate([iq_beams, iq_beams_2], axis=0), cfg)
+    win = np.asarray(kaiser_window(p, 4.5),
+                     jnp.finfo(iq_beams.dtype).dtype)
+    slices = jnp.stack([pc[k * hop:k * hop + p] for k in range(win_size)])
+    rdm = jax.vmap(lambda s: mtd(s, win))(slices)
+    if suppress_zero_vel:
+        rdm = jax.vmap(lambda r: _suppress_zero_velocity(r, cfg))(rdm)
     return rdm, pc
 
 
@@ -218,3 +272,24 @@ def run_realdata_pipeline(raw_iq: jnp.ndarray, cfg: RadarConfig,
     dets, _flags = stage3_detection(rdm, cfg)
     meas = stage4_measurement(dets, rdm, cfg, freq_no)
     return meas, dets, rdm
+
+
+def run_realdata_pipeline_windowed(raw_iq: jnp.ndarray,
+                                   raw_iq_2: jnp.ndarray, cfg: RadarConfig,
+                                   freq_no: int = 6,
+                                   win_size: int | None = None):
+    """Two-frame sliding-CPI staged chain on gated raw IQ [P, 3404, C]
+    pairs; stage 3/4 run per window slice (the per-slice ``MTD_data_win``
+    layout of main_test:147). Returns ``(measurements [win_size], rdm_slices
+    [win_size, P, 3404, B])``."""
+    dbf_w = np.asarray(assets.dbf_coeffs())
+    beams = dbf(raw_iq, jnp.asarray(dbf_w, raw_iq.dtype), "realdata")
+    beams2 = dbf(raw_iq_2, jnp.asarray(dbf_w, raw_iq.dtype), "realdata")
+    rdm_slices, _pc = stage2_mtd_windowed(beams, beams2, cfg, win_size)
+
+    def per_slice(rdm):
+        dets, _ = stage3_detection(rdm, cfg)
+        return stage4_measurement(dets, rdm, cfg, freq_no)
+
+    meas = [per_slice(rdm_slices[k]) for k in range(rdm_slices.shape[0])]
+    return meas, rdm_slices

@@ -187,3 +187,106 @@ def test_track_height_property():
 
     t = Track(1000.0, 10.0, 30.0, 0.0, 1.0, 1, 2, 2, np.array([0, 1]))
     np.testing.assert_allclose(t.height_m, 1000.0 * np.sin(np.deg2rad(30.0)))
+
+
+def _windowed_fixture(prt_num=32, n_b=2, gate=1200, v=10.0,
+                      on_pulses=None, seed=7):
+    """Two consecutive gated beam-space frames with one long-segment echo,
+    coherent across the frame boundary; ``on_pulses`` restricts which of
+    the 2P pulses carry the echo."""
+    from radar_tpu.pipeline.stages import _segment_pulses
+
+    sig = SigConfig(prt_num=prt_num, channel_num=16, beam_num=n_b)
+    cfg = RadarConfig(sig=sig)
+    n_g = sig.n_total_gate
+    rng = np.random.default_rng(seed)
+    two = (rng.normal(size=(2 * prt_num, n_g, n_b))
+           + 1j * rng.normal(size=(2 * prt_num, n_g, n_b))) * np.sqrt(0.5)
+    _, _, p3 = _segment_pulses(cfg)
+    seg = np.zeros(n_g, complex)
+    seg[gate:gate + len(p3)] = p3
+    fd = 2 * v / sig.wavelength
+    dop = np.exp(1j * 2 * np.pi * fd * np.arange(2 * prt_num) * sig.prt)
+    gate_pulses = np.ones(2 * prt_num) if on_pulses is None else on_pulses
+    two += (6.0 * (gate_pulses * dop)[:, None, None] * seg[None, :, None])
+    two = two.astype(np.complex64)
+    return cfg, jnp.asarray(two[:prt_num]), jnp.asarray(two[prt_num:])
+
+
+def test_stage2_windowed_slice0_matches_single_frame():
+    from radar_tpu.pipeline.stages import stage2_mtd, stage2_mtd_windowed
+
+    cfg, f1, f2 = _windowed_fixture()
+    rdm_single, pc_single = stage2_mtd(f1, cfg)
+    rdm_slices, pc_two = stage2_mtd_windowed(f1, f2, cfg, win_size=4)
+    assert rdm_slices.shape == (4,) + rdm_single.shape
+    np.testing.assert_allclose(np.asarray(rdm_slices[0]),
+                               np.asarray(rdm_single), rtol=2e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(pc_two[:cfg.sig.prt_num]),
+                               np.asarray(pc_single), rtol=2e-5, atol=1e-3)
+
+
+def test_stage2_windowed_recovers_boundary_straddling_target():
+    """A target only present around the frame boundary integrates a full
+    CPI in the straddling slice but a fraction of one in slice 0."""
+    from radar_tpu.pipeline.stages import stage2_mtd_windowed
+
+    prt = 32
+    on = np.zeros(2 * prt)
+    on[prt - 16: prt + 16] = 1.0  # second half of f1 + first half of f2
+    cfg, f1, f2 = _windowed_fixture(prt_num=prt, on_pulses=on)
+    rdm_slices, _ = stage2_mtd_windowed(f1, f2, cfg, win_size=4)
+    mag = np.abs(np.asarray(rdm_slices))  # [4, V, G, B]
+    peaks = mag.reshape(4, -1).max(axis=1)
+    # hop = 8: slice 2 covers pulses 16..48 = exactly the on window
+    assert np.argmax(peaks) == 2
+    assert peaks[2] > 1.8 * peaks[0]
+
+
+def test_stage2_windowed_divisibility_check():
+    import pytest
+
+    from radar_tpu.pipeline.stages import stage2_mtd_windowed
+
+    cfg, f1, f2 = _windowed_fixture()
+    with pytest.raises(ValueError):
+        stage2_mtd_windowed(f1, f2, cfg, win_size=5)
+
+
+def test_realdata_pipeline_windowed_end_to_end():
+    """Each window slice of the two-frame chain detects a persistent
+    target at the same gate."""
+    from radar_tpu.pipeline.stages import run_realdata_pipeline_windowed
+
+    prt = 32
+    sig = SigConfig(prt_num=prt, channel_num=16, beam_num=13)
+    cfg = RadarConfig(sig=sig)
+    n_g, n_c = sig.n_total_gate, 16
+    rng = np.random.default_rng(3)
+    two = (rng.normal(size=(2 * prt, n_g, n_c))
+           + 1j * rng.normal(size=(2 * prt, n_g, n_c))) * np.sqrt(0.5)
+    from radar_tpu.pipeline.stages import _segment_pulses
+
+    _, _, p3 = _segment_pulses(cfg)
+    truth_gate, truth_v = 1500, 12.0
+    dphi = (2 * np.pi * 0.0138 * np.sin(np.deg2rad(12.0)) / sig.wavelength)
+    steer = np.exp(-1j * np.arange(n_c) * dphi)
+    fd = 2 * truth_v / sig.wavelength
+    dop = np.exp(1j * 2 * np.pi * fd * np.arange(2 * prt) * sig.prt)
+    seg = np.zeros(n_g, complex)
+    seg[truth_gate:truth_gate + len(p3)] = p3
+    two += 8.0 * dop[:, None, None] * seg[None, :, None] * steer[None, None, :]
+    two = two.astype(np.complex64)
+
+    meas, rdm_slices = run_realdata_pipeline_windowed(
+        jnp.asarray(two[:prt]), jnp.asarray(two[prt:]), cfg, freq_no=6,
+        win_size=4)
+    assert len(meas) == 4 and rdm_slices.shape[0] == 4
+    delta_r = sig.c / (2 * sig.fs)
+    for k, m in enumerate(meas):
+        valid = np.asarray(m.valid)
+        assert valid.sum() >= 1, f"slice {k} found nothing"
+        r = np.asarray(m.range_m)[valid]
+        p = np.asarray(m.power)[valid]
+        assert abs(r[np.argmax(p)] - truth_gate * delta_r) \
+            <= 2 * delta_r + 3.0, f"slice {k}"
