@@ -116,6 +116,30 @@ def plot_track_history(log, tracks, path: str) -> str:
     return _save(fig, path)
 
 
+def plot_smoothed_tracks(smoothed, path: str) -> str:
+    """Measured points vs Kalman/RTS-smoothed trajectories with a
+    +/-2-sigma range band (pipeline/tracking.py; beyond-reference)."""
+    fig, axes = plt.subplots(3, 1, figsize=(8, 9), sharex=True)
+    for st in smoothed:
+        f = st.frames
+        axes[0].plot(f, st.meas_range_m, "o", ms=4, alpha=0.5)
+        line, = axes[0].plot(f, st.range_m, "-")
+        axes[0].fill_between(f, st.range_m - 2 * st.range_std_m,
+                             st.range_m + 2 * st.range_std_m,
+                             color=line.get_color(), alpha=0.15)
+        axes[1].plot(f, st.meas_velocity_ms, "o", ms=4, alpha=0.5)
+        axes[1].plot(f, st.velocity_ms, "-", color=line.get_color())
+        axes[2].plot(f, st.meas_elevation_deg, "o", ms=4, alpha=0.5)
+        axes[2].plot(f, st.elevation_deg, "-", color=line.get_color())
+    for ax, name in zip(axes, ["range (m)", "velocity (m/s)",
+                               "elevation (deg)"]):
+        ax.set_ylabel(name)
+        ax.grid(True)
+    axes[-1].set_xlabel("frame")
+    axes[0].set_title("Kalman/RTS-smoothed tracks (dots = measurements)")
+    return _save(fig, path)
+
+
 def plot_cluster_comparison(log, tracks, path: str) -> str:
     """Pre- vs post-association PPI comparison (v8_3:409-427)."""
     fig = plt.figure(figsize=(12, 5))

@@ -32,6 +32,9 @@ def main() -> None:
                     help="run all frames inside one on-device lax.scan "
                          "(no host round trip per frame; best on "
                          "high-latency accelerators)")
+    ap.add_argument("--smooth", action="store_true",
+                    help="Kalman/RTS-smooth the associated tracks and plot "
+                         "the smoothed trajectories")
     args = ap.parse_args()
 
     if args.cpu:
@@ -70,6 +73,20 @@ def main() -> None:
               f"({t.num_points} pts)")
 
     os.makedirs(args.out, exist_ok=True)
+    if args.smooth:
+        from radar_tpu.pipeline.tracking import smooth_tracks
+        from radar_tpu.viz.plots import plot_smoothed_tracks
+
+        smoothed = smooth_tracks(log, tracks, cfg)
+        for st in smoothed:
+            print(f"  smoothed: R={st.range_m[-1]:8.1f} m  "
+                  f"V={st.velocity_ms[-1]:6.2f} m/s  "
+                  f"El={st.elevation_deg[-1]:5.2f} deg  "
+                  f"sigmaR={st.range_std_m[-1]:.1f} m  "
+                  f"({len(st.frames)} frames)")
+        print("smoothed figure:",
+              plot_smoothed_tracks(
+                  smoothed, os.path.join(args.out, "smoothed_tracks.png")))
     print("figures:",
           plot_ppi(tracks, os.path.join(args.out, "ppi.png")),
           plot_rhi(tracks, os.path.join(args.out, "rhi.png")),
