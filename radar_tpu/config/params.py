@@ -217,6 +217,10 @@ class RadarConfig:
     # instead of the jnp formulation; TPU only (interpret-mode on CPU is for
     # tests, not speed)
     use_pallas_cfar: bool = False
+    # AWGN backend: "threefry" (jax.random, bit-reproducible across
+    # backends, measured fastest on v5e) or "pallas" (fused on-core
+    # hardware-PRNG kernel, ops/pallas_noise.py; TPU only)
+    noise_impl: str = "threefry"
 
     def replace(self, **kw) -> "RadarConfig":
         return dataclasses.replace(self, **kw)

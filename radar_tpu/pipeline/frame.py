@@ -121,7 +121,13 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
 
     def process(key, targets: TargetBatch):
         raw = synthesize_echoes(targets, precomp, cfg, dtype=dtype)
-        noisy = add_noise(key, raw)
+        if cfg.noise_impl == "pallas":
+            from ..ops.pallas_noise import add_noise_pallas
+
+            noisy = add_noise_pallas(
+                key, raw, interpret=jax.default_backend() == "cpu")
+        else:
+            noisy = add_noise(key, raw)
         beams = dbf(noisy, dbf_w, cfg.dbf_variant)
         if mplan is not None:
             pc = pulse_compress_matmul(beams, mplan)
