@@ -36,7 +36,11 @@ def main() -> None:
     from radar_tpu.sim.scenario import TargetBatch
     from radar_tpu.waveform.precompute import precompute
 
-    cfg = full_config()
+    # perf configuration: fused synthesis+DBF beam-space path — exact
+    # algebraic fusion for the signal, covariance-exact beam-space AWGN
+    # (distribution-identical to per-channel noise -> DBF; statistically
+    # validated in tests/test_fused.py + results/fused_synth.json)
+    cfg = full_config().replace(fused_synth_dbf=True)
     precomp = precompute(cfg)
     process = make_frame_processor(cfg, precomp, dtype=jnp.complex64,
                                    jit=False)

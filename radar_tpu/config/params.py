@@ -221,6 +221,18 @@ class RadarConfig:
     # backends, measured fastest on v5e) or "pallas" (fused on-core
     # hardware-PRNG kernel, ops/pallas_noise.py; TPU only)
     noise_impl: str = "threefry"
+    # Fuse echo synthesis + DBF into beam space: the signal is contracted
+    # with the DBF weights per target before the big outer product (exact
+    # algebra) and AWGN is drawn directly in beam space from the Cholesky
+    # factor of the DBF-output noise covariance (distribution-identical to
+    # per-channel noise -> DBF, different random stream). The raw
+    # [pulses, samples, channels] cube never exists. Incompatible with
+    # return_intermediates taps of raw_iq.
+    fused_synth_dbf: bool = False
+    # Precision of the heavy constant matmuls (MTD DFT, banded-Toeplitz PC):
+    # "f32" = complex64 throughout; "bf16" = bf16 multiply planes with f32
+    # accumulation (~2x MXU rate, ~2^-9 input quantization; ops/precision.py)
+    matmul_precision: str = "f32"
 
     def replace(self, **kw) -> "RadarConfig":
         return dataclasses.replace(self, **kw)

@@ -15,6 +15,20 @@ exposed as variants (SURVEY.md section 2.1 "DBF"):
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
+
+
+def dbf_weights_effective_np(w, variant: str = "v8") -> np.ndarray:
+    """Host-numpy twin of dbf_weights_effective — for build-time constants
+    (an eager device complex array would poison tunnel TPU processes)."""
+    w = np.asarray(w)
+    if variant == "v8":
+        return np.conj(w)
+    if variant == "v7_7":
+        return np.flip(w, axis=1)
+    if variant == "realdata":
+        return w
+    raise ValueError(f"unknown DBF variant: {variant}")
 
 
 def dbf_weights_effective(w: jnp.ndarray, variant: str = "v8") -> jnp.ndarray:

@@ -45,8 +45,14 @@ def make_mtd_matrix(mtd_win, num_pulses: int,
     return np.fft.fftshift(m, axes=0).astype(np.complex128)
 
 
-def mtd_matmul(pc: jnp.ndarray, mtd_matrix) -> jnp.ndarray:
+def mtd_matmul(pc: jnp.ndarray, mtd_matrix,
+               precision: str = "f32") -> jnp.ndarray:
     """MTD via the folded constant matrix (see make_mtd_matrix)."""
+    if precision == "bf16":
+        from .precision import einsum_complex_bf16
+
+        return einsum_complex_bf16("vp,pgb->vgb", jnp.asarray(mtd_matrix),
+                                   pc, out_dtype=pc.dtype)
     m = jnp.asarray(mtd_matrix, pc.dtype)
     return jnp.einsum("vp,pgb->vgb", m, pc,
                       preferred_element_type=pc.dtype)

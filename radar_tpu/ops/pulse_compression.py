@@ -151,17 +151,24 @@ def make_matmul_plan(precomp, chunk: int = 512) -> MatmulPlan:
     return MatmulPlan(chunks=tuple(chunks))
 
 
-def pulse_compress_matmul(iq_beams: jnp.ndarray, mplan: MatmulPlan
-                          ) -> jnp.ndarray:
+def pulse_compress_matmul(iq_beams: jnp.ndarray, mplan: MatmulPlan,
+                          precision: str = "f32") -> jnp.ndarray:
     """[pulses, samples, beams] -> [pulses, n_total_gate, beams] via the
     banded-Toeplitz matmul plan."""
     dtype = iq_beams.dtype
+    if precision == "bf16":
+        from .precision import einsum_complex_bf16
     pieces = []
     for w0, wlen, m in mplan.chunks:
         seg = jax.lax.slice_in_dim(iq_beams, w0, w0 + wlen, axis=1)
-        mm = jnp.asarray(m, dtype)
-        pieces.append(jnp.einsum("pwb,wj->pjb", seg, mm,
-                                 preferred_element_type=dtype))
+        if precision == "bf16":
+            pieces.append(einsum_complex_bf16("pwb,wj->pjb", seg,
+                                              jnp.asarray(m),
+                                              out_dtype=dtype))
+        else:
+            mm = jnp.asarray(m, dtype)
+            pieces.append(jnp.einsum("pwb,wj->pjb", seg, mm,
+                                     preferred_element_type=dtype))
     return jnp.concatenate(pieces, axis=1)
 
 

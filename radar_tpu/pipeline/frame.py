@@ -31,7 +31,8 @@ from ..ops.dbf import dbf
 from ..ops.mtd import make_mtd_matrix, mtd, mtd_matmul
 from ..ops.pulse_compression import (make_matmul_plan, make_plan,
                                      pulse_compress, pulse_compress_matmul)
-from ..sim.echo import add_noise, synthesize_echoes
+from ..sim.echo import (add_noise, add_noise_beamspace, beam_noise_factor,
+                        synthesize_echo_beams, synthesize_echoes)
 from ..sim.scenario import TargetBatch
 from ..waveform.precompute import Precomputed, precompute
 
@@ -118,17 +119,29 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
                if cfg.mtd_method == "matmul" else None)
     mc = measure_consts(cfg, precomp, real_dtype)
     ip = cfg.interp
+    fused = cfg.fused_synth_dbf and not return_intermediates
+    if fused:
+        from ..ops.dbf import dbf_weights_effective_np
+
+        w_eff = dbf_weights_effective_np(dbf_w, cfg.dbf_variant)
+        mix_np = np.ascontiguousarray(w_eff.T)        # [C,B]
+        l_np = beam_noise_factor(w_eff)               # [B,B]
 
     def process(key, targets: TargetBatch):
-        raw = synthesize_echoes(targets, precomp, cfg, dtype=dtype)
-        if cfg.noise_impl == "pallas":
-            from ..ops.pallas_noise import add_noise_pallas
-
-            noisy = add_noise_pallas(
-                key, raw, interpret=jax.default_backend() == "cpu")
+        if fused:
+            sig_beams = synthesize_echo_beams(targets, precomp, cfg, mix_np,
+                                              dtype=dtype)
+            beams = add_noise_beamspace(key, sig_beams, l_np)
         else:
-            noisy = add_noise(key, raw)
-        beams = dbf(noisy, dbf_w, cfg.dbf_variant)
+            raw = synthesize_echoes(targets, precomp, cfg, dtype=dtype)
+            if cfg.noise_impl == "pallas":
+                from ..ops.pallas_noise import add_noise_pallas
+
+                noisy = add_noise_pallas(
+                    key, raw, interpret=jax.default_backend() == "cpu")
+            else:
+                noisy = add_noise(key, raw)
+            beams = dbf(noisy, dbf_w, cfg.dbf_variant)
         if mplan is not None:
             pc = pulse_compress_matmul(beams, mplan)
         else:

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config.params import RadarConfig
-from ..sim.echo import add_noise, synthesize_echoes
+from ..sim.echo import (add_noise, add_noise_beamspace, beam_noise_factor,
+                        synthesize_echo_beams, synthesize_echoes)
 from ..sim.scenario import TargetBatch
 from ..waveform.precompute import Precomputed, precompute
 
@@ -75,10 +76,22 @@ def make_trial_fn(cfg: RadarConfig, precomp: Precomputed,
                if cfg.mtd_method == "matmul" else None)
     mc = measure_consts(cfg, precomp, real_dtype)
     ip = cfg.interp
+    if cfg.fused_synth_dbf:
+        # beam-space noise factor (see sim/echo.beam_noise_factor): the
+        # noiseless echo is synthesized directly in beam space once per SNR
+        # point and each trial adds covariance-exact beam-space AWGN
+        from ..ops.dbf import dbf_weights_effective_np
+
+        w_eff = dbf_weights_effective_np(dbf_w, cfg.dbf_variant)
+        mix_np = np.ascontiguousarray(w_eff.T)
+        l_np = beam_noise_factor(w_eff)
 
     def one_trial(echo, key):
-        noisy = add_noise(key, echo)
-        beams = dbf(noisy, dbf_w, cfg.dbf_variant)
+        if cfg.fused_synth_dbf:
+            beams = add_noise_beamspace(key, echo, l_np)
+        else:
+            noisy = add_noise(key, echo)
+            beams = dbf(noisy, dbf_w, cfg.dbf_variant)
         pc = (pulse_compress_matmul(beams, mplan) if mplan is not None
               else pulse_compress(beams, precomp, plan))
         rdm = (mtd_matmul(pc, mtd_mat) if mtd_mat is not None
@@ -96,7 +109,11 @@ def make_trial_fn(cfg: RadarConfig, precomp: Precomputed,
         return _first_valid_angle(result)
 
     def trials(targets, keys):
-        echo = synthesize_echoes(targets, precomp, cfg, dtype=dtype)
+        if cfg.fused_synth_dbf:
+            echo = synthesize_echo_beams(targets, precomp, cfg, mix_np,
+                                         dtype=dtype)
+        else:
+            echo = synthesize_echoes(targets, precomp, cfg, dtype=dtype)
         return jax.vmap(one_trial, in_axes=(None, 0))(echo, keys)
 
     return jax.jit(trials)

@@ -26,6 +26,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config.params import RadarConfig
 
@@ -45,13 +46,12 @@ def radar_equation_amplitude(range_m, rcs, wavelength: float,
             / (range_m**2 * (4.0 * jnp.pi) ** 1.5))
 
 
-@partial(jax.jit, static_argnames=("num_pulses", "num_channels",
-                                   "element_spacing", "wavelength", "prt",
-                                   "fs", "c", "dtype", "nfft"))
-def _synthesize(range_m, velocity_ms, elevation_deg, amp, tx_pulse,
-                num_pulses: int, num_channels: int, element_spacing: float,
-                wavelength: float, prt: float, fs: float, c: float, dtype,
-                nfft: int):
+def _target_factors(range_m, velocity_ms, elevation_deg, amp, tx_pulse,
+                    num_pulses: int, num_channels: int,
+                    element_spacing: float, wavelength: float, prt: float,
+                    fs: float, c: float, dtype, nfft: int):
+    """Per-target factor vectors (dop*amp [K,P], delayed base [K,S],
+    steering [K,C]) shared by the channel-cube and fused-beam synthesizers."""
     num_samples = tx_pulse.shape[0]
     real_dtype = jnp.finfo(dtype).dtype
 
@@ -95,18 +95,49 @@ def _synthesize(range_m, velocity_ms, elevation_deg, amp, tx_pulse,
                     ).astype(dtype)  # [K,C]
 
     dop_amp = dop * amp[:, None].astype(dtype)
+    return dop_amp, base, steer
+
+
+@partial(jax.jit, static_argnames=("num_pulses", "num_channels",
+                                   "element_spacing", "wavelength", "prt",
+                                   "fs", "c", "dtype", "nfft"))
+def _synthesize(range_m, velocity_ms, elevation_deg, amp, tx_pulse,
+                num_pulses: int, num_channels: int, element_spacing: float,
+                wavelength: float, prt: float, fs: float, c: float, dtype,
+                nfft: int):
+    dop_amp, base, steer = _target_factors(
+        range_m, velocity_ms, elevation_deg, amp, tx_pulse, num_pulses,
+        num_channels, element_spacing, wavelength, prt, fs, c, dtype, nfft)
     return jnp.einsum("kp,ks,kc->psc", dop_amp, base, steer,
                       preferred_element_type=dtype)
 
 
-def synthesize_echoes(targets, precomp, cfg: RadarConfig,
-                      dtype=jnp.complex64, amplitudes=None):
-    """Raw IQ cube [prt_num, point_prt, channel_num] for one frame.
+@partial(jax.jit, static_argnames=("num_pulses", "num_channels",
+                                   "element_spacing", "wavelength", "prt",
+                                   "fs", "c", "dtype", "nfft"))
+def _synthesize_beams(range_m, velocity_ms, elevation_deg, amp, tx_pulse,
+                      mix, num_pulses: int, num_channels: int,
+                      element_spacing: float, wavelength: float, prt: float,
+                      fs: float, c: float, dtype, nfft: int):
+    """Fused synthesis + DBF: contracts the channel axis with ``mix`` [C,B]
+    per target (a [K,C]x[C,B] matmul) BEFORE the big outer product, so the
+    [pulses, samples, channels] raw cube never exists:
 
-    ``amplitudes`` overrides the default SNR-referenced amplitude model
-    (amp = sqrt(SNR_lin*P_noise/P_signal_unscaled), ref :61-63) with
-    explicit per-target amplitudes — e.g. radar_equation_amplitude (v1
-    model) or ones (v4 model)."""
+      beams[p,s,b] = sum_k dop_amp[k,p] * base[k,s] * (steer[k,:] @ mix)[b]
+
+    Algebraically identical to einsum('kp,ks,kc->psc') followed by
+    einsum('psc,cb->psb') — the DBF of fun_process_single_frame.m:90-97
+    applied to the noise-free echo of :45-77 — but with K*P*S*B MACs instead
+    of K*P*S*C + P*S*C*B and no HBM round trip of the raw cube."""
+    dop_amp, base, steer = _target_factors(
+        range_m, velocity_ms, elevation_deg, amp, tx_pulse, num_pulses,
+        num_channels, element_spacing, wavelength, prt, fs, c, dtype, nfft)
+    steer_b = steer @ mix.astype(dtype)  # [K,B]
+    return jnp.einsum("kp,ks,kb->psb", dop_amp, base, steer_b,
+                      preferred_element_type=dtype)
+
+
+def _synth_args(targets, precomp, cfg: RadarConfig, dtype, amplitudes):
     sig = cfg.sig
     tx = jnp.asarray(precomp.tx_pulse, dtype)
     # smallest power of 2 covering S + tx support: linear-shift FFT grid
@@ -121,12 +152,75 @@ def synthesize_echoes(targets, precomp, cfg: RadarConfig,
         snr_lin = 10.0 ** (jnp.asarray(targets.snr_db) / 10.0)
         amplitudes = jnp.sqrt(snr_lin * P_NOISE_FLOOR
                               / precomp.p_signal_unscaled)
-    return _synthesize(
-        jnp.asarray(targets.range_m), jnp.asarray(targets.velocity_ms),
-        jnp.asarray(targets.elevation_deg), jnp.asarray(amplitudes),
-        tx, num_pulses=sig.prt_num, num_channels=sig.channel_num,
-        element_spacing=cfg.array.element_spacing, wavelength=sig.wavelength,
-        prt=sig.prt, fs=sig.fs, c=sig.c, dtype=dtype, nfft=nfft)
+    pos = (jnp.asarray(targets.range_m), jnp.asarray(targets.velocity_ms),
+           jnp.asarray(targets.elevation_deg), jnp.asarray(amplitudes), tx)
+    kw = dict(num_pulses=sig.prt_num, num_channels=sig.channel_num,
+              element_spacing=cfg.array.element_spacing,
+              wavelength=sig.wavelength, prt=sig.prt, fs=sig.fs, c=sig.c,
+              dtype=dtype, nfft=nfft)
+    return pos, kw
+
+
+def synthesize_echoes(targets, precomp, cfg: RadarConfig,
+                      dtype=jnp.complex64, amplitudes=None):
+    """Raw IQ cube [prt_num, point_prt, channel_num] for one frame.
+
+    ``amplitudes`` overrides the default SNR-referenced amplitude model
+    (amp = sqrt(SNR_lin*P_noise/P_signal_unscaled), ref :61-63) with
+    explicit per-target amplitudes — e.g. radar_equation_amplitude (v1
+    model) or ones (v4 model)."""
+    pos, kw = _synth_args(targets, precomp, cfg, dtype, amplitudes)
+    return _synthesize(*pos, **kw)
+
+
+def synthesize_echo_beams(targets, precomp, cfg: RadarConfig, mix,
+                          dtype=jnp.complex64, amplitudes=None):
+    """Noise-free beam cube [prt_num, point_prt, beams]: synthesis and DBF
+    fused so the raw channel cube never materializes. ``mix`` is the [C,B]
+    effective weight matrix (ops.dbf.dbf_weights_effective(w, variant).T);
+    bit-equivalent (up to float reassociation) to
+    ``dbf(synthesize_echoes(...), w, variant)``."""
+    pos, kw = _synth_args(targets, precomp, cfg, dtype, amplitudes)
+    return _synthesize_beams(*pos, jnp.asarray(mix), **kw)
+
+
+def beam_noise_factor(dbf_w_effective, p_noise: float = P_NOISE_FLOOR):
+    """Host-side Cholesky factor L [B,B] (numpy) such that ``z @ L.T`` with
+    z iid CN(0,1) has exactly the distribution of per-channel AWGN passed
+    through DBF.
+
+    The reference draws iid complex noise per channel with per-rail variance
+    p_noise/2 (fun_process_single_frame.m:81-88) and beamforms it; the beam-
+    space noise is then circular complex Gaussian with covariance
+    ``p_noise * M @ M^H`` (M = effective weights [B,C]) and zero pseudo-
+    covariance. Drawing it directly in beam space from the Cholesky factor of
+    that covariance is distribution-identical (not stream-identical) and
+    skips generating + beamforming the [P,S,C] channel-noise cube."""
+    import numpy as _np
+
+    m = _np.asarray(dbf_w_effective)
+    cov = p_noise * (m @ m.conj().T)
+    try:
+        return _np.linalg.cholesky(cov)
+    except _np.linalg.LinAlgError:
+        # rank-deficient weight banks (synthetic configs): eigh square root
+        vals, vecs = _np.linalg.eigh(cov)
+        return vecs * _np.sqrt(_np.clip(vals, 0.0, None))[None, :]
+
+
+def add_noise_beamspace(key: jax.Array, beams: jax.Array,
+                        l_factor) -> jax.Array:
+    """Add beam-space AWGN with covariance ``L @ L^H`` (see
+    beam_noise_factor): distribution-identical to
+    ``dbf(add_noise(key, raw) - raw, w) + beams``."""
+    dtype = beams.dtype
+    real_dtype = jnp.finfo(dtype).dtype
+    g = jax.random.normal(key, beams.shape + (2,), dtype=real_dtype)
+    z = (g[..., 0] + 1j * g[..., 1]) * jnp.asarray(
+        np.sqrt(0.5), real_dtype)  # iid CN(0,1) per (p,s,b)
+    return beams + jnp.einsum("psj,bj->psb", z.astype(dtype),
+                              jnp.asarray(l_factor).astype(dtype),
+                              preferred_element_type=dtype)
 
 
 def add_noise(key: jax.Array, raw_iq: jax.Array,

@@ -1,0 +1,71 @@
+"""A/B the fused synthesis+DBF beam-space path vs the default channel-cube
+path at the full reference problem size, on whatever backend is live.
+
+Same tunnel-safe methodology as bench.py: each variant runs inside one
+on-device fori_loop with a traced trip count; per-frame time is the slope
+between two trip counts; outputs consumed into the carry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def time_variant(cfg, targets, label):
+    from radar_tpu.pipeline.frame import make_frame_processor
+
+    process = make_frame_processor(cfg, dtype=jnp.complex64, jit=False)
+
+    def frames_loop(n, key):
+        def body(i, acc):
+            res = process(jax.random.fold_in(key, i), targets)
+            t = res.targets
+            return (acc + jnp.sum(t.range_m) + jnp.sum(t.velocity_ms)
+                    + jnp.sum(t.angle_deg) + jnp.sum(t.power)
+                    + res.num_raw_detections.astype(jnp.float32))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    f = jax.jit(frames_loop)
+    key = jax.random.PRNGKey(0)
+    for n in (2, 2):
+        float(f(n, key))
+
+    def timed(n, seed):
+        t0 = time.perf_counter()
+        float(f(n, jax.random.PRNGKey(seed)))
+        return time.perf_counter() - t0
+
+    n_small, n_large = 5, 55
+    t_small = min(timed(n_small, 1), timed(n_small, 2))
+    t_large = min(timed(n_large, 3), timed(n_large, 4))
+    dt = (t_large - t_small) / (n_large - n_small)
+    print(json.dumps({"variant": label, "ms_per_frame": round(1e3 * dt, 3),
+                      "frames_per_s": round(1.0 / dt, 1)}))
+    return dt
+
+
+def main():
+    from radar_tpu.config.params import full_config
+    from radar_tpu.sim.scenario import TargetBatch
+
+    targets_np = TargetBatch.make([3000.0, 10000.0], [20.0, 25.0],
+                                  [10.0, 10.0], [10.0, 15.0])
+    targets = TargetBatch(*[jnp.asarray(x, jnp.float32)
+                            for x in targets_np])
+    cfg = full_config()
+    dt_base = time_variant(cfg, targets, "default")
+    dt_fused = time_variant(cfg.replace(fused_synth_dbf=True), targets,
+                            "fused_synth_dbf")
+    print(json.dumps({"speedup": round(dt_base / dt_fused, 3)}))
+
+
+if __name__ == "__main__":
+    main()

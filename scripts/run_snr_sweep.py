@@ -24,6 +24,9 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=100)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--fused", action="store_true",
+                    help="fused synth+DBF beam-space path "
+                         "(cfg.fused_synth_dbf)")
     ap.add_argument("--out", default="snr_sweep.png")
     ap.add_argument("--snr", default="-10:2:30",
                     help="start:step:stop in dB (MATLAB colon syntax); "
@@ -42,6 +45,8 @@ def main() -> None:
     start, step, stop = (float(x) for x in args.snr.split(":"))
     snr_vec = np.arange(start, stop + 1e-9, step)
     cfg = small_test_config() if args.small else full_config()
+    if args.fused:
+        cfg = cfg.replace(fused_synth_dbf=True)
 
     t0 = time.time()
     res = snr_sweep(cfg, snr_db_vector=snr_vec, num_trials=args.trials,

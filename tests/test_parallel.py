@@ -91,3 +91,14 @@ def test_sharded_pipeline_matches_single_device(dp, ch, cpi):
     np.testing.assert_allclose(np.asarray(single.targets.angle_deg)[sv],
                                np.asarray(sharded.targets.angle_deg)[hv],
                                rtol=1e-3, atol=1e-3)
+
+
+def test_multihost_helpers_single_process():
+    from radar_tpu.parallel import multihost
+
+    # no coordinator configured -> single-process no-op
+    assert multihost.initialize() is False
+    mesh = multihost.make_multihost_mesh(ch=2)  # dp inferred = 4 on 8 devs
+    assert mesh.shape["dp"] == 4 and mesh.shape["ch"] == 2
+    # one process owns the whole dp batch
+    assert multihost.local_batch_slice(8, mesh) == slice(0, 8)
