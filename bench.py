@@ -36,11 +36,14 @@ def main() -> None:
     from radar_tpu.sim.scenario import TargetBatch
     from radar_tpu.waveform.precompute import precompute
 
-    # perf configuration: fused synthesis+DBF beam-space path — exact
-    # algebraic fusion for the signal, covariance-exact beam-space AWGN
-    # (distribution-identical to per-channel noise -> DBF; statistically
-    # validated in tests/test_fused.py + results/fused_synth.json)
-    cfg = full_config().replace(fused_synth_dbf=True)
+    # perf configuration: fused synthesis+DBF beam-space path (exact
+    # algebraic fusion for the signal, covariance-exact beam-space AWGN —
+    # distribution-identical to per-channel noise -> DBF; tests/test_fused.py
+    # + results/fused_synth.json) and bf16 MXU planes for the MTD/PC constant
+    # matmuls (f32 accumulation, ~2^-9 input quantization; statistically
+    # validated in results/bf16_matmul.json)
+    cfg = full_config().replace(fused_synth_dbf=True,
+                                matmul_precision="bf16")
     precomp = precompute(cfg)
     process = make_frame_processor(cfg, precomp, dtype=jnp.complex64,
                                    jit=False)

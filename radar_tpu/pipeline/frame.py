@@ -143,10 +143,12 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
                 noisy = add_noise(key, raw)
             beams = dbf(noisy, dbf_w, cfg.dbf_variant)
         if mplan is not None:
-            pc = pulse_compress_matmul(beams, mplan)
+            pc = pulse_compress_matmul(beams, mplan,
+                                       precision=cfg.matmul_precision)
         else:
             pc = pulse_compress(beams, precomp, plan)
-        rdm = (mtd_matmul(pc, mtd_mat) if mtd_mat is not None
+        rdm = (mtd_matmul(pc, mtd_mat, precision=cfg.matmul_precision)
+               if mtd_mat is not None
                else mtd(pc, mtd_win, cfg.mtd_fft_len))
         if cfg.use_pallas_cfar:
             from ..ops.pallas_kernels import goca_cfar_2d_pallas

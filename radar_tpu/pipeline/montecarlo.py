@@ -92,9 +92,12 @@ def make_trial_fn(cfg: RadarConfig, precomp: Precomputed,
         else:
             noisy = add_noise(key, echo)
             beams = dbf(noisy, dbf_w, cfg.dbf_variant)
-        pc = (pulse_compress_matmul(beams, mplan) if mplan is not None
+        pc = (pulse_compress_matmul(beams, mplan,
+                                    precision=cfg.matmul_precision)
+              if mplan is not None
               else pulse_compress(beams, precomp, plan))
-        rdm = (mtd_matmul(pc, mtd_mat) if mtd_mat is not None
+        rdm = (mtd_matmul(pc, mtd_mat, precision=cfg.matmul_precision)
+               if mtd_mat is not None
                else mtd(pc, mtd_win, cfg.mtd_fft_len))
         maps = pair_sum_maps(rdm)
         mask, _ = goca_cfar_2d(maps, cfg.cfar)

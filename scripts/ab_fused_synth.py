@@ -61,10 +61,20 @@ def main():
     targets = TargetBatch(*[jnp.asarray(x, jnp.float32)
                             for x in targets_np])
     cfg = full_config()
-    dt_base = time_variant(cfg, targets, "default")
-    dt_fused = time_variant(cfg.replace(fused_synth_dbf=True), targets,
-                            "fused_synth_dbf")
-    print(json.dumps({"speedup": round(dt_base / dt_fused, 3)}))
+    import sys
+    variants = sys.argv[1:] or ["default", "fused"]
+    dts = {}
+    for v in variants:
+        kw = {}
+        if "fused" in v:
+            kw["fused_synth_dbf"] = True
+        if "bf16" in v:
+            kw["matmul_precision"] = "bf16"
+        dts[v] = time_variant(cfg.replace(**kw) if kw else cfg, targets, v)
+    if len(dts) > 1:
+        base = list(dts.values())[0]
+        print(json.dumps({f"speedup_vs_{variants[0]}":
+                          {v: round(base / dt, 3) for v, dt in dts.items()}}))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,132 @@
+"""Integrated sub-stage breakdown of the detection tail (extract ->
+estimate -> cluster1 -> cluster2) by timing successively longer pipeline
+prefixes inside on-device fori_loops (isolated tail timings are meaningless:
+fusion with the surrounding graph changes costs 10x — ROADMAP.md).
+
+Writes results/tail_profile.json when run on the accelerator."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def loop_time(step_fn, n1=5, n2=35):
+    key = jax.random.PRNGKey(0)
+
+    def loop(n, k0):
+        def body(i, acc):
+            return acc + step_fn(jax.random.fold_in(k0, i))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    f = jax.jit(loop)
+    for n in (n1, n1):
+        float(f(n, key))
+
+    def t(n, s):
+        t0 = time.perf_counter()
+        float(f(n, jax.random.PRNGKey(s)))
+        return time.perf_counter() - t0
+
+    return (min(t(n2, 1), t(n2, 2)) - min(t(n1, 3), t(n1, 4))) / (n2 - n1)
+
+
+def main() -> None:
+    from radar_tpu.cluster.stages import cluster_stage1, cluster_stage2
+    from radar_tpu.config.params import full_config
+    from radar_tpu.measure.estimate import estimate_parameters
+    from radar_tpu.ops.cfar import (extract_detections, goca_cfar_2d,
+                                    pair_sum_maps)
+    from radar_tpu.ops.dbf import dbf_weights_effective_np
+    from radar_tpu.ops.mtd import make_mtd_matrix, mtd_matmul
+    from radar_tpu.ops.pulse_compression import (make_matmul_plan,
+                                                 pulse_compress_matmul)
+    from radar_tpu.pipeline.frame import measure_consts
+    from radar_tpu.sim.echo import (add_noise_beamspace, beam_noise_factor,
+                                    synthesize_echo_beams)
+    from radar_tpu.sim.scenario import TargetBatch
+    from radar_tpu.waveform.precompute import precompute
+
+    cfg = full_config().replace(fused_synth_dbf=True,
+                                matmul_precision="bf16")
+    pre = precompute(cfg)
+    mplan = make_matmul_plan(pre)
+    mtd_mat = make_mtd_matrix(pre.mtd_win, cfg.sig.prt_num, cfg.mtd_fft_len)
+    mc = measure_consts(cfg, pre, np.float32)
+    w_eff = dbf_weights_effective_np(np.asarray(pre.dbf_w), cfg.dbf_variant)
+    mix = np.ascontiguousarray(w_eff.T)
+    l_np = beam_noise_factor(w_eff)
+    tb = TargetBatch(*[jnp.asarray(x, jnp.float32) for x in
+                       TargetBatch.make([3000.0, 10000.0], [20.0, 25.0],
+                                        [10.0, 10.0], [10.0, 15.0])])
+    ip = cfg.interp
+
+    def upto(stage):
+        def step(key):
+            # per-iteration range jitter: synthesis is loop-hoisted otherwise
+            # (it has no key input), and exp(j*phase(R)) can't be factored
+            ku, kn = jax.random.split(key)
+            tb_i = tb._replace(range_m=tb.range_m + jax.random.uniform(
+                ku, tb.range_m.shape))
+            key = kn
+            sig = synthesize_echo_beams(tb_i, pre, cfg, mix)
+            if stage == "synth":
+                return jnp.sum(jnp.abs(sig))
+            beams = add_noise_beamspace(key, sig, l_np)
+            if stage == "noise":
+                return jnp.sum(jnp.abs(beams))
+            pc = pulse_compress_matmul(beams, mplan, precision="bf16")
+            if stage == "pc":
+                return jnp.sum(jnp.abs(pc))
+            rdm = mtd_matmul(pc, mtd_mat, precision="bf16")
+            if stage == "mtd":
+                return jnp.sum(jnp.abs(rdm))
+            maps = pair_sum_maps(rdm)
+            mask, _ = goca_cfar_2d(maps, cfg.cfar)
+            if stage == "cfar":
+                return jnp.sum(jnp.abs(jnp.where(mask, maps, 0.0)))
+            dets = extract_detections(mask, maps, cfg.cfar.max_detections)
+            if stage == "extract":
+                return (jnp.sum(jnp.abs(dets.amp))
+                        + jnp.sum(dets.v_idx + dets.r_idx)
+                        .astype(jnp.float32))
+            params = estimate_parameters(dets, maps, rdm, mc, ip.extra_dots,
+                                         ip.r_interp_times, ip.v_interp_times)
+            if stage == "estimate":
+                return (jnp.sum(jnp.abs(params.range_m))
+                        + jnp.sum(jnp.abs(params.velocity_ms))
+                        + jnp.sum(jnp.abs(params.angle_deg)))
+            s1 = cluster_stage1(params, cfg.cluster)
+            if stage == "cluster1":
+                return (jnp.sum(jnp.abs(s1.range_m))
+                        + jnp.sum(jnp.abs(s1.power)))
+            final = cluster_stage2(s1, cfg.cluster)
+            return (jnp.sum(jnp.abs(final.range_m))
+                    + jnp.sum(jnp.abs(final.power)))
+        return step
+
+    out = {"device": jax.devices()[0].device_kind}
+    prev = 0.0
+    for stage in ("synth", "noise", "pc", "mtd", "cfar", "extract",
+                  "estimate", "cluster1", "cluster2"):
+        dt = loop_time(upto(stage))
+        out[stage + "_cum_ms"] = round(1e3 * dt, 3)
+        out[stage + "_delta_ms"] = round(1e3 * (dt - prev), 3)
+        prev = dt
+        print(json.dumps(out))
+    path = os.path.join(os.path.dirname(__file__), "..", "results",
+                        "tail_profile.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()

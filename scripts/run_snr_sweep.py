@@ -27,6 +27,8 @@ def main() -> None:
     ap.add_argument("--fused", action="store_true",
                     help="fused synth+DBF beam-space path "
                          "(cfg.fused_synth_dbf)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 MXU precision for the MTD/PC matmuls")
     ap.add_argument("--out", default="snr_sweep.png")
     ap.add_argument("--snr", default="-10:2:30",
                     help="start:step:stop in dB (MATLAB colon syntax); "
@@ -47,6 +49,8 @@ def main() -> None:
     cfg = small_test_config() if args.small else full_config()
     if args.fused:
         cfg = cfg.replace(fused_synth_dbf=True)
+    if args.bf16:
+        cfg = cfg.replace(matmul_precision="bf16")
 
     t0 = time.time()
     res = snr_sweep(cfg, snr_db_vector=snr_vec, num_trials=args.trials,
