@@ -42,8 +42,12 @@ def main() -> None:
     # + results/fused_synth.json) and bf16 MXU planes for the MTD/PC constant
     # matmuls (f32 accumulation, ~2^-9 input quantization; statistically
     # validated in results/bf16_matmul.json)
-    cfg = full_config().replace(fused_synth_dbf=True,
-                                matmul_precision="bf16")
+    # ... and the rank-K closed-form signal RDM with post-MTD noise mixing
+    # (exact linear identity with the fused path, same random draws —
+    # tests/test_fused.py::test_lowrank_rdm_matches_fused_exactly)
+    # ... and the rbg PRNG family (results/noise_prng.json)
+    cfg = full_config().replace(fused_synth_dbf=True, lowrank_rdm=True,
+                                matmul_precision="bf16", noise_prng="rbg")
     precomp = precompute(cfg)
     process = make_frame_processor(cfg, precomp, dtype=jnp.complex64,
                                    jit=False)

@@ -221,6 +221,11 @@ class RadarConfig:
     # backends, measured fastest on v5e) or "pallas" (fused on-core
     # hardware-PRNG kernel, ops/pallas_noise.py; TPU only)
     noise_impl: str = "threefry"
+    # PRNG family for the beam-space/white noise draws: "threefry"
+    # (bit-reproducible everywhere) or "rbg" (XLA RngBitGenerator, ~1.6x
+    # faster on TPU; deterministic per compiled program but not guaranteed
+    # stable across compiler versions)
+    noise_prng: str = "threefry"
     # Fuse echo synthesis + DBF into beam space: the signal is contracted
     # with the DBF weights per target before the big outer product (exact
     # algebra) and AWGN is drawn directly in beam space from the Cholesky
@@ -229,6 +234,13 @@ class RadarConfig:
     # [pulses, samples, channels] cube never exists. Incompatible with
     # return_intermediates taps of raw_iq.
     fused_synth_dbf: bool = False
+    # Rank-K closed-form signal RDM + post-MTD noise mixing (requires
+    # fused_synth_dbf): pulse compression / MTD / beam mixing all commute
+    # (they contract disjoint axes), so the deterministic signal RDM is
+    # computed as K outer products, PC+MTD run on UN-mixed white beam noise,
+    # and the Cholesky beam mixing is applied to the RDM where the cube is
+    # 35% smaller. Exact linear identity (float reassociation only).
+    lowrank_rdm: bool = False
     # Precision of the heavy constant matmuls (MTD DFT, banded-Toeplitz PC):
     # "f32" = complex64 throughout; "bf16" = bf16 multiply planes with f32
     # accumulation (~2x MXU rate, ~2^-9 input quantization; ops/precision.py)

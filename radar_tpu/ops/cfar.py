@@ -150,9 +150,12 @@ def first_k_true_indices(flat: jnp.ndarray, capacity: int,
     r_s = (jnp.searchsorted(row_off, slots, side="right",
                             method="compare_all") - 1).astype(jnp.int32)
     r_s = jnp.clip(r_s, 0, num_rows - 1)
-    # fetch the selected rows with a one-hot matmul (gather-free)
-    onehot = jax.nn.one_hot(r_s, num_rows, dtype=jnp.float32)   # [cap, R]
-    rows_sel = onehot @ m2.astype(jnp.float32)                  # [cap, W]
+    # fetch the selected rows with a one-hot matmul (gather-free). bf16
+    # multiply planes are EXACT here: both operands are 0/1 (representable
+    # in bf16) and the f32 accumulation of <= row_width ones is exact.
+    onehot = jax.nn.one_hot(r_s, num_rows, dtype=jnp.bfloat16)  # [cap, R]
+    rows_sel = jnp.einsum("cr,rw->cw", onehot, m2.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)   # [cap, W]
     within = jnp.cumsum(rows_sel, axis=1) - rows_sel            # exclusive
     want = (slots - row_off[r_s]).astype(jnp.float32)
     hit = (jnp.abs(within - want[:, None]) < 0.5) & (rows_sel > 0.5)

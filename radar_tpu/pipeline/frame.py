@@ -32,7 +32,8 @@ from ..ops.mtd import make_mtd_matrix, mtd, mtd_matmul
 from ..ops.pulse_compression import (make_matmul_plan, make_plan,
                                      pulse_compress, pulse_compress_matmul)
 from ..sim.echo import (add_noise, add_noise_beamspace, beam_noise_factor,
-                        synthesize_echo_beams, synthesize_echoes)
+                        synthesize_echo_beams, synthesize_echoes,
+                        synthesize_factors, white_complex_noise)
 from ..sim.scenario import TargetBatch
 from ..waveform.precompute import Precomputed, precompute
 
@@ -127,8 +128,46 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
         mix_np = np.ascontiguousarray(w_eff.T)        # [C,B]
         l_np = beam_noise_factor(w_eff)               # [B,B]
 
+    lowrank = cfg.lowrank_rdm and fused
+
     def process(key, targets: TargetBatch):
-        if fused:
+        if lowrank:
+            # rank-K deterministic RDM + post-MTD noise mixing: PC contracts
+            # fast time, MTD slow time, the Cholesky mix beams — disjoint
+            # axes, so all three commute (exact up to float reassociation)
+            dop_amp, base, steer_b = synthesize_factors(
+                targets, precomp, cfg, mix_np, dtype=dtype)
+            if mplan is not None:
+                pc_base = pulse_compress_matmul(
+                    base[:, :, None], mplan,
+                    precision=cfg.matmul_precision)[:, :, 0]   # [K, gates]
+            else:
+                pc_base = pulse_compress(base[:, :, None], precomp,
+                                         plan)[:, :, 0]
+            if mtd_mat is not None:
+                dop_v = mtd_matmul(dop_amp.T[:, None, :], mtd_mat,
+                                   precision=cfg.matmul_precision
+                                   )[:, 0, :].T               # [K, n_dop]
+            else:
+                dop_v = mtd(dop_amp.T[:, None, :], mtd_win,
+                            cfg.mtd_fft_len)[:, 0, :].T
+            rdm_sig = jnp.einsum("kv,kj,kb->vjb", dop_v, pc_base, steer_b,
+                                 preferred_element_type=dtype)
+            z = white_complex_noise(
+                key, (cfg.sig.prt_num, cfg.sig.point_prt, dbf_w.shape[0]),
+                dtype, impl=cfg.noise_prng)
+            pc_z = (pulse_compress_matmul(z, mplan,
+                                          precision=cfg.matmul_precision)
+                    if mplan is not None
+                    else pulse_compress(z, precomp, plan))
+            rdm_z = (mtd_matmul(pc_z, mtd_mat,
+                                precision=cfg.matmul_precision)
+                     if mtd_mat is not None
+                     else mtd(pc_z, mtd_win, cfg.mtd_fft_len))
+            rdm = rdm_sig + jnp.einsum(
+                "vgj,bj->vgb", rdm_z, jnp.asarray(l_np).astype(dtype),
+                preferred_element_type=dtype)
+        elif fused:
             sig_beams = synthesize_echo_beams(targets, precomp, cfg, mix_np,
                                               dtype=dtype)
             beams = add_noise_beamspace(key, sig_beams, l_np)
@@ -142,14 +181,15 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
             else:
                 noisy = add_noise(key, raw)
             beams = dbf(noisy, dbf_w, cfg.dbf_variant)
-        if mplan is not None:
-            pc = pulse_compress_matmul(beams, mplan,
-                                       precision=cfg.matmul_precision)
-        else:
-            pc = pulse_compress(beams, precomp, plan)
-        rdm = (mtd_matmul(pc, mtd_mat, precision=cfg.matmul_precision)
-               if mtd_mat is not None
-               else mtd(pc, mtd_win, cfg.mtd_fft_len))
+        if not lowrank:
+            if mplan is not None:
+                pc = pulse_compress_matmul(beams, mplan,
+                                           precision=cfg.matmul_precision)
+            else:
+                pc = pulse_compress(beams, precomp, plan)
+            rdm = (mtd_matmul(pc, mtd_mat, precision=cfg.matmul_precision)
+                   if mtd_mat is not None
+                   else mtd(pc, mtd_win, cfg.mtd_fft_len))
         if cfg.use_pallas_cfar:
             from ..ops.pallas_kernels import goca_cfar_2d_pallas
 

@@ -24,7 +24,8 @@ import numpy as np
 
 from ..config.params import RadarConfig
 from ..sim.echo import (add_noise, add_noise_beamspace, beam_noise_factor,
-                        synthesize_echo_beams, synthesize_echoes)
+                        synthesize_echo_beams, synthesize_echoes,
+                        synthesize_factors, white_complex_noise)
 from ..sim.scenario import TargetBatch
 from ..waveform.precompute import Precomputed, precompute
 
@@ -86,19 +87,36 @@ def make_trial_fn(cfg: RadarConfig, precomp: Precomputed,
         mix_np = np.ascontiguousarray(w_eff.T)
         l_np = beam_noise_factor(w_eff)
 
+    lowrank = cfg.lowrank_rdm and cfg.fused_synth_dbf
+
+    def _pc(x):
+        return (pulse_compress_matmul(x, mplan,
+                                      precision=cfg.matmul_precision)
+                if mplan is not None else pulse_compress(x, precomp, plan))
+
+    def _mtd(x):
+        return (mtd_matmul(x, mtd_mat, precision=cfg.matmul_precision)
+                if mtd_mat is not None else mtd(x, mtd_win, cfg.mtd_fft_len))
+
     def one_trial(echo, key):
-        if cfg.fused_synth_dbf:
-            beams = add_noise_beamspace(key, echo, l_np)
+        if lowrank:
+            # echo here is the precomputed signal RDM (see trials below);
+            # per trial: white beam noise -> PC -> MTD -> Cholesky mix
+            z = white_complex_noise(
+                key, (cfg.sig.prt_num, cfg.sig.point_prt, dbf_w.shape[0]),
+                echo.dtype, impl=cfg.noise_prng)
+            rdm = echo + jnp.einsum(
+                "vgj,bj->vgb", _mtd(_pc(z)),
+                jnp.asarray(l_np).astype(echo.dtype),
+                preferred_element_type=echo.dtype)
         else:
-            noisy = add_noise(key, echo)
-            beams = dbf(noisy, dbf_w, cfg.dbf_variant)
-        pc = (pulse_compress_matmul(beams, mplan,
-                                    precision=cfg.matmul_precision)
-              if mplan is not None
-              else pulse_compress(beams, precomp, plan))
-        rdm = (mtd_matmul(pc, mtd_mat, precision=cfg.matmul_precision)
-               if mtd_mat is not None
-               else mtd(pc, mtd_win, cfg.mtd_fft_len))
+            if cfg.fused_synth_dbf:
+                beams = add_noise_beamspace(key, echo, l_np)
+            else:
+                noisy = add_noise(key, echo)
+                beams = dbf(noisy, dbf_w, cfg.dbf_variant)
+            pc = _pc(beams)
+            rdm = _mtd(pc)
         maps = pair_sum_maps(rdm)
         mask, _ = goca_cfar_2d(maps, cfg.cfar)
         dets = extract_detections(mask, maps, cfg.cfar.max_detections)
@@ -112,7 +130,14 @@ def make_trial_fn(cfg: RadarConfig, precomp: Precomputed,
         return _first_valid_angle(result)
 
     def trials(targets, keys):
-        if cfg.fused_synth_dbf:
+        if lowrank:
+            dop_amp, base, steer_b = synthesize_factors(
+                targets, precomp, cfg, mix_np, dtype=dtype)
+            pc_base = _pc(base[:, :, None])[:, :, 0]
+            dop_v = _mtd(dop_amp.T[:, None, :])[:, 0, :].T
+            echo = jnp.einsum("kv,kj,kb->vjb", dop_v, pc_base, steer_b,
+                              preferred_element_type=dtype)  # signal RDM
+        elif cfg.fused_synth_dbf:
             echo = synthesize_echo_beams(targets, precomp, cfg, mix_np,
                                          dtype=dtype)
         else:

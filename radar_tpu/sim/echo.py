@@ -184,6 +184,35 @@ def synthesize_echo_beams(targets, precomp, cfg: RadarConfig, mix,
     return _synthesize_beams(*pos, jnp.asarray(mix), **kw)
 
 
+@partial(jax.jit, static_argnames=("num_pulses", "num_channels",
+                                   "element_spacing", "wavelength", "prt",
+                                   "fs", "c", "dtype", "nfft"))
+def _factors_beams(range_m, velocity_ms, elevation_deg, amp, tx_pulse,
+                   mix, num_pulses: int, num_channels: int,
+                   element_spacing: float, wavelength: float, prt: float,
+                   fs: float, c: float, dtype, nfft: int):
+    dop_amp, base, steer = _target_factors(
+        range_m, velocity_ms, elevation_deg, amp, tx_pulse, num_pulses,
+        num_channels, element_spacing, wavelength, prt, fs, c, dtype, nfft)
+    return dop_amp, base, steer @ mix.astype(dtype)
+
+
+def synthesize_factors(targets, precomp, cfg: RadarConfig, mix,
+                       dtype=jnp.complex64, amplitudes=None):
+    """Rank-K factorization of the noise-free beam cube:
+    ``(dop_amp [K,P], base [K,S], steer_b [K,B])`` with
+    ``beams[p,s,b] = sum_k dop_amp[k,p]*base[k,s]*steer_b[k,b]``.
+
+    Because pulse compression acts on fast time only, MTD on slow time only
+    and DBF on channels only, the ENTIRE deterministic pipeline through the
+    RDM stays rank-K: apply the PC operator to ``base`` rows, the MTD matrix
+    to ``dop_amp`` rows, and recombine with one tiny outer-product einsum —
+    the full-size deterministic cubes never exist (pipeline/frame.py
+    lowrank path)."""
+    pos, kw = _synth_args(targets, precomp, cfg, dtype, amplitudes)
+    return _factors_beams(*pos, jnp.asarray(mix), **kw)
+
+
 def beam_noise_factor(dbf_w_effective, p_noise: float = P_NOISE_FLOOR):
     """Host-side Cholesky factor L [B,B] (numpy) such that ``z @ L.T`` with
     z iid CN(0,1) has exactly the distribution of per-channel AWGN passed
@@ -206,6 +235,33 @@ def beam_noise_factor(dbf_w_effective, p_noise: float = P_NOISE_FLOOR):
         # rank-deficient weight banks (synthetic configs): eigh square root
         vals, vecs = _np.linalg.eigh(cov)
         return vecs * _np.sqrt(_np.clip(vals, 0.0, None))[None, :]
+
+
+def _as_impl_key(key: jax.Array, impl: str) -> jax.Array:
+    """Convert a (possibly raw uint32) threefry key to another PRNG family.
+
+    ``rbg`` (XLA RngBitGenerator, the on-core generator) measures ~1.6x
+    faster than threefry at frame size on v5e (results/noise_prng.json) —
+    the earlier 'rbg slower' finding was an artifact of the untyped-key
+    path. Distinct threefry keys map to distinct rbg keys (the 128-bit rbg
+    key is the 64-bit threefry key doubled)."""
+    if impl == "threefry":
+        return key
+    data = (jax.random.key_data(key)
+            if jnp.issubdtype(key.dtype, jax.dtypes.prng_key) else key)
+    return jax.random.wrap_key_data(jnp.tile(data.ravel()[:2], 2), impl=impl)
+
+
+def white_complex_noise(key: jax.Array, shape, dtype=jnp.complex64,
+                        impl: str = "threefry"):
+    """iid CN(0,1) cube (unit complex variance) — the un-mixed beam noise of
+    the lowrank path; the Cholesky mixing is applied post-MTD where the cube
+    is 35% smaller (exact linear commutation)."""
+    real_dtype = jnp.finfo(dtype).dtype
+    g = jax.random.normal(_as_impl_key(key, impl), tuple(shape) + (2,),
+                          dtype=real_dtype)
+    return ((g[..., 0] + 1j * g[..., 1])
+            * jnp.asarray(np.sqrt(0.5), real_dtype)).astype(dtype)
 
 
 def add_noise_beamspace(key: jax.Array, beams: jax.Array,

@@ -68,8 +68,13 @@ def main():
         kw = {}
         if "fused" in v:
             kw["fused_synth_dbf"] = True
+        if "lowrank" in v:
+            kw["fused_synth_dbf"] = True
+            kw["lowrank_rdm"] = True
         if "bf16" in v:
             kw["matmul_precision"] = "bf16"
+        if "rbg" in v:
+            kw["noise_prng"] = "rbg"
         dts[v] = time_variant(cfg.replace(**kw) if kw else cfg, targets, v)
     if len(dts) > 1:
         base = list(dts.values())[0]

@@ -29,6 +29,10 @@ def main() -> None:
                          "(cfg.fused_synth_dbf)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 MXU precision for the MTD/PC matmuls")
+    ap.add_argument("--lowrank", action="store_true",
+                    help="rank-K signal RDM + post-MTD noise mixing")
+    ap.add_argument("--rbg", action="store_true",
+                    help="rbg PRNG family for the noise draws")
     ap.add_argument("--out", default="snr_sweep.png")
     ap.add_argument("--snr", default="-10:2:30",
                     help="start:step:stop in dB (MATLAB colon syntax); "
@@ -51,6 +55,10 @@ def main() -> None:
         cfg = cfg.replace(fused_synth_dbf=True)
     if args.bf16:
         cfg = cfg.replace(matmul_precision="bf16")
+    if args.lowrank:
+        cfg = cfg.replace(fused_synth_dbf=True, lowrank_rdm=True)
+    if args.rbg:
+        cfg = cfg.replace(noise_prng="rbg")
 
     t0 = time.time()
     res = snr_sweep(cfg, snr_db_vector=snr_vec, num_trials=args.trials,

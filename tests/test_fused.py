@@ -109,3 +109,31 @@ def test_fused_matches_unfused_statistics():
     pre = precompute(small_test_config())
     assert abs(r0 - r1) < 2 * pre.delta_r
     assert abs(v0 - v1) < 2 * pre.delta_v
+
+
+def test_lowrank_rdm_matches_fused_exactly():
+    """The lowrank path commutes PC/MTD past the beam mixing and collapses
+    the signal to rank-K outer products — an exact linear identity. With
+    the same key it draws the SAME white noise, so detections must agree
+    with the fused path up to float reassociation."""
+    tb = TargetBatch.make([3000.0, 8000.0], [15.0, -7.0], [10.0, 22.0],
+                          [20.0, 14.0])
+    outs = []
+    for lowrank in (False, True):
+        cfg = small_test_config().replace(fused_synth_dbf=True,
+                                          lowrank_rdm=lowrank)
+        process = make_frame_processor(cfg, dtype=jnp.complex64)
+        outs.append(process(jax.random.PRNGKey(5), tb))
+    a, b = outs
+    assert int(a.num_raw_detections) == int(b.num_raw_detections)
+    assert int(a.num_final) == int(b.num_final)
+    av, bv = np.asarray(a.targets.valid), np.asarray(b.targets.valid)
+    np.testing.assert_array_equal(av, bv)
+    np.testing.assert_allclose(np.asarray(a.targets.range_m)[av],
+                               np.asarray(b.targets.range_m)[bv], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.targets.velocity_ms)[av],
+                               np.asarray(b.targets.velocity_ms)[bv],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.targets.angle_deg)[av],
+                               np.asarray(b.targets.angle_deg)[bv],
+                               rtol=1e-3, atol=1e-3)
