@@ -42,15 +42,34 @@ def beam_patterns(dbf_w: np.ndarray, element_spacing: float, wavelength: float,
 
 def calibrate_k_slopes(dbf_w: np.ndarray, beam_angles_deg: np.ndarray,
                        element_spacing: float, wavelength: float,
-                       num_scan: int = 501, fit_half_width: int = 5
-                       ) -> np.ndarray:
+                       num_scan: int = 501, fit_half_width: int = 5,
+                       ratio: str = "magnitude",
+                       span_factor: float = 0.5) -> np.ndarray:
     """Monopulse slope K per adjacent beam pair, [B-1].
 
     For pair p the crossover is the midpoint of the two pointing angles; the
-    scan spans +/- half the beam separation around it. The slope is the
-    linear-fit coefficient of (angle - crossover) against the real monopulse
-    ratio over ``2*fit_half_width+1`` samples centered on the crossover
-    (calibrate_all_monopulse_slopes.m:50-72).
+    scan spans +/- ``span_factor * separation`` around it. The slope is the
+    linear-fit coefficient of (angle - crossover) against the monopulse
+    ratio over ``2*fit_half_width+1`` samples centered on the crossover.
+
+    Two ratio conventions:
+      - "magnitude" (default): ratio = (|A|-|B|)/(|A|+|B|) — SELF-CONSISTENT
+        with how the v8 pipeline applies K (monopulse on |RDM| values,
+        fun_process_single_frame.m:282-285); used to auto-calibrate
+        synthetic banks so estimation is unbiased by construction.
+      - "complex": ratio = real((A-B)/(A+B)) on the complex field responses
+        — the procedure of calibrate_all_monopulse_slopes.m:56-72 (weights
+        must already carry the caller's channel convention, e.g. fliplr for
+        that script's :26).
+
+    NB reference inconsistency (documented, not a bug here): running the
+    committed calibrate_all_monopulse_slopes.m procedure on the committed
+    DBF CSV yields K = [-2.54, -2.33, ..., -21.5], which does NOT match the
+    LUT pasted into main_simulate_echoes_with_array_v8_3.m:179
+    ([-4.64 ... -8.76]); no parameterization of the committed scripts
+    (fit window, scan span, magnitude-vs-complex) reproduces the pasted
+    values. The framework ships the pasted LUT as the measured constant
+    (config/assets.py) and exposes both calibration procedures.
     """
     beam_angles_deg = np.asarray(beam_angles_deg, np.float64)
     num_beams, num_elements = dbf_w.shape
@@ -59,13 +78,19 @@ def calibrate_k_slopes(dbf_w: np.ndarray, beam_angles_deg: np.ndarray,
         a0, a1 = beam_angles_deg[p], beam_angles_deg[p + 1]
         mid = 0.5 * (a0 + a1)
         sep = abs(a1 - a0)
-        scan = np.linspace(mid - sep / 2, mid + sep / 2, num_scan)
+        scan = np.linspace(mid - span_factor * sep, mid + span_factor * sep,
+                           num_scan)
         s = steering_vector(scan, num_elements, element_spacing, wavelength)
-        ra = np.abs(dbf_w[p].conj() @ s)
-        rb = np.abs(dbf_w[p + 1].conj() @ s)
-        ratio = (ra - rb) / (ra + rb + np.finfo(np.float64).eps)
-        c = num_scan // 2
+        if ratio == "complex":
+            ca = dbf_w[p] @ s
+            cb = dbf_w[p + 1] @ s
+            r = np.real((ca - cb) / (ca + cb))
+        else:
+            ra = np.abs(dbf_w[p].conj() @ s)
+            rb = np.abs(dbf_w[p + 1].conj() @ s)
+            r = (ra - rb) / (ra + rb + np.finfo(np.float64).eps)
+        c = int(np.argmin(np.abs(scan - mid)))
         lo, hi = c - fit_half_width, c + fit_half_width + 1
-        coeff = np.polyfit(ratio[lo:hi], scan[lo:hi] - mid, 1)
+        coeff = np.polyfit(r[lo:hi], scan[lo:hi] - mid, 1)
         ks[p] = coeff[0]
     return ks

@@ -130,7 +130,11 @@ def _toeplitz_chunks(h: np.ndarray, seg_start: int, out_lo: int, out_hi: int,
     return out
 
 
-def make_matmul_plan(precomp, chunk: int = 512) -> MatmulPlan:
+def make_matmul_plan(precomp, chunk: int = 256) -> MatmulPlan:
+    # chunk=256 measured fastest at full frame size on v5e (256/512/1024/
+    # 2048 -> 2.59/2.67/2.78/3.05 ms for the white-noise+PC chain,
+    # results/pc_chunk.json): smaller chunks waste fewer dense MACs on the
+    # 700-tap long-segment band at still-aligned matmul shapes.
     g1, g2, _ = precomp.gate_splits
     gate_medium_end = g1 + g2
     n_total = precomp.n_total_gate

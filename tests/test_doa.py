@@ -114,3 +114,26 @@ def test_sigma_delta_monopulse_demo():
     scan, p_sum, p_diff = sum_diff_patterns(beams, d, wl)
     i0 = np.argmin(np.abs(scan))
     assert p_sum[i0] > -1.0
+
+
+def test_reference_calibration_procedure_pinned():
+    """Running the committed reference calibration procedure
+    (calibrate_all_monopulse_slopes.m: fliplr'd weights, complex field
+    ratio, +/-separation scan, +/-5-point fit) on the measured DBF bank
+    yields these values — which do NOT equal the LUT pasted into
+    _v8_3.m:179 (a documented reference inconsistency; the framework ships
+    the pasted LUT as the operating constant)."""
+    from radar_tpu.config import assets
+    from radar_tpu.config.params import small_test_config
+    from radar_tpu.doa.calibrate import calibrate_k_slopes
+
+    w = np.fliplr(assets.dbf_coeffs())
+    angles = np.asarray(assets.BEAM_ANGLES_DEG_16CH)
+    cfg = small_test_config(channels=16, pulses=4, beams=13)
+    ks = calibrate_k_slopes(w, angles, cfg.array.element_spacing,
+                            cfg.sig.wavelength, ratio="complex",
+                            span_factor=1.0)
+    np.testing.assert_allclose(
+        ks[:4], [-2.5448, -2.3314, -2.2636, -2.3314], atol=2e-3)
+    # ... and differs from the shipped (pasted) LUT
+    assert np.max(np.abs(ks - np.asarray(assets.K_SLOPES_LUT_16CH))) > 1.0
