@@ -241,6 +241,15 @@ class RadarConfig:
     # and the Cholesky beam mixing is applied to the RDM where the cube is
     # 35% smaller. Exact linear identity (float reassociation only).
     lowrank_rdm: bool = False
+    # lowrank path only: generate white noise only for the sample windows
+    # the PC plan actually reads (74% of the PRT) — distribution-exact, 26%
+    # fewer PRNG draws; False preserves draw-for-draw parity with the fused
+    # path (tests/test_fused.py exact-identity check)
+    compact_noise: bool = True
+    # Scan the CFAR mask in native [V,G,pairs] layout and argsort the hits
+    # into (pair,range,velocity)-major order, instead of relaying the whole
+    # cube out transposed first; identical output below capacity
+    extract_native_scan: bool = False
     # Precision of the heavy constant matmuls (MTD DFT, banded-Toeplitz PC):
     # "f32" = complex64 throughout; "bf16" = bf16 multiply planes with f32
     # accumulation (~2x MXU rate, ~2^-9 input quantization; ops/precision.py)

@@ -165,16 +165,37 @@ def first_k_true_indices(flat: jnp.ndarray, capacity: int,
 
 
 def extract_detections(mask: jnp.ndarray, maps: jnp.ndarray,
-                       capacity: int) -> Detections:
+                       capacity: int, native_scan: bool = False) -> Detections:
     """Turn a boolean detection cube [V, G, pairs] into a fixed-capacity
-    index list ordered (pair, range, velocity)-major."""
-    num_v, num_r, _ = mask.shape
-    flat = jnp.transpose(mask, (2, 1, 0)).ravel()
-    safe, valid = first_k_true_indices(flat, capacity)
-    pair = safe // (num_r * num_v)
-    rem = safe % (num_r * num_v)
-    r = rem // num_v
-    v = rem % num_v
+    index list ordered (pair, range, velocity)-major.
+
+    ``native_scan`` scans the cube in its native [V, G, pairs] layout (no
+    13.6M-element transposed relayout) and argsorts the <= capacity hits
+    into the same (pair, range, velocity)-major order afterwards — identical
+    output whenever the true count fits the capacity (beyond capacity the
+    two variants keep a different — equally arbitrary — subset; the
+    reference has no capacity at all)."""
+    num_v, num_r, num_q = mask.shape
+    if native_scan:
+        flat = mask.ravel()  # [V, G, Q] native order
+        safe, valid = first_k_true_indices(flat, capacity)
+        v = safe // (num_r * num_q)
+        rem = safe % (num_r * num_q)
+        r = rem // num_q
+        pair = rem % num_q
+        # reorder to (pair, range, velocity)-major; invalid slots sort last
+        key = (pair * num_r + r) * num_v + v
+        key = jnp.where(valid, key, jnp.iinfo(jnp.int32).max)
+        order = jnp.argsort(key)
+        v, r, pair = v[order], r[order], pair[order]
+        valid = valid[order]
+    else:
+        flat = jnp.transpose(mask, (2, 1, 0)).ravel()
+        safe, valid = first_k_true_indices(flat, capacity)
+        pair = safe // (num_r * num_v)
+        rem = safe % (num_r * num_v)
+        r = rem // num_v
+        v = rem % num_v
     amp = maps[v, r, pair]
     zero = jnp.zeros((), maps.dtype)
     return Detections(

@@ -155,6 +155,40 @@ def make_matmul_plan(precomp, chunk: int = 256) -> MatmulPlan:
     return MatmulPlan(chunks=tuple(chunks))
 
 
+def compact_noise_plan(mplan: MatmulPlan) -> tuple[MatmulPlan, int]:
+    """Remap the plan's chunk read windows into a compacted sample space.
+
+    PC reads ONLY the chunk windows (74% of the PRT at the default config);
+    white noise in the gaps never reaches any output, so the lowrank noise
+    path can generate a [pulses, compact_len, beams] cube instead of the
+    full PRT and feed it through the returned plan — distribution-exact
+    (every generated sample is iid either way), 26% fewer PRNG draws.
+    Returns (plan with w0 remapped to compact coordinates, compact_len)."""
+    intervals = sorted((w0, w0 + wlen) for w0, wlen, _ in mplan.chunks)
+    merged: list = []
+    for a, b in intervals:
+        if merged and a <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], b)
+        else:
+            merged.append([a, b])
+    offset = {}
+    pos = 0
+    for a, b in merged:
+        offset[a] = (a, pos)
+        pos += b - a
+    starts = sorted(offset)
+
+    def remap(w0: int) -> int:
+        import bisect
+
+        i = bisect.bisect_right(starts, w0) - 1
+        a, p = offset[starts[i]]
+        return p + (w0 - a)
+
+    chunks = tuple((remap(w0), wlen, m) for w0, wlen, m in mplan.chunks)
+    return MatmulPlan(chunks=chunks), pos
+
+
 def pulse_compress_matmul(iq_beams: jnp.ndarray, mplan: MatmulPlan,
                           precision: str = "f32") -> jnp.ndarray:
     """[pulses, samples, beams] -> [pulses, n_total_gate, beams] via the

@@ -129,6 +129,11 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
         l_np = beam_noise_factor(w_eff)               # [B,B]
 
     lowrank = cfg.lowrank_rdm and fused
+    nplan, nlen = (None, 0)
+    if lowrank and cfg.compact_noise and mplan is not None:
+        from ..ops.pulse_compression import compact_noise_plan
+
+        nplan, nlen = compact_noise_plan(mplan)
 
     def process(key, targets: TargetBatch):
         if lowrank:
@@ -153,13 +158,21 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
                             cfg.mtd_fft_len)[:, 0, :].T
             rdm_sig = jnp.einsum("kv,kj,kb->vjb", dop_v, pc_base, steer_b,
                                  preferred_element_type=dtype)
-            z = white_complex_noise(
-                key, (cfg.sig.prt_num, cfg.sig.point_prt, dbf_w.shape[0]),
-                dtype, impl=cfg.noise_prng)
-            pc_z = (pulse_compress_matmul(z, mplan,
-                                          precision=cfg.matmul_precision)
-                    if mplan is not None
-                    else pulse_compress(z, precomp, plan))
+            if nplan is not None:
+                z = white_complex_noise(
+                    key, (cfg.sig.prt_num, nlen, dbf_w.shape[0]),
+                    dtype, impl=cfg.noise_prng)
+                pc_z = pulse_compress_matmul(
+                    z, nplan, precision=cfg.matmul_precision)
+            else:
+                z = white_complex_noise(
+                    key,
+                    (cfg.sig.prt_num, cfg.sig.point_prt, dbf_w.shape[0]),
+                    dtype, impl=cfg.noise_prng)
+                pc_z = (pulse_compress_matmul(
+                            z, mplan, precision=cfg.matmul_precision)
+                        if mplan is not None
+                        else pulse_compress(z, precomp, plan))
             rdm_z = (mtd_matmul(pc_z, mtd_mat,
                                 precision=cfg.matmul_precision)
                      if mtd_mat is not None
@@ -200,7 +213,8 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
         else:
             maps = pair_sum_maps(rdm)
             mask, _ = goca_cfar_2d(maps, cfg.cfar)
-        dets = extract_detections(mask, maps, cfg.cfar.max_detections)
+        dets = extract_detections(mask, maps, cfg.cfar.max_detections,
+                                  native_scan=cfg.extract_native_scan)
         params = estimate_parameters(
             dets, maps, rdm, mc, ip.extra_dots, ip.r_interp_times,
             ip.v_interp_times, monopulse_complex=cfg.monopulse_complex)

@@ -88,6 +88,11 @@ def make_trial_fn(cfg: RadarConfig, precomp: Precomputed,
         l_np = beam_noise_factor(w_eff)
 
     lowrank = cfg.lowrank_rdm and cfg.fused_synth_dbf
+    nplan, nlen = (None, 0)
+    if lowrank and cfg.compact_noise and mplan is not None:
+        from ..ops.pulse_compression import compact_noise_plan
+
+        nplan, nlen = compact_noise_plan(mplan)
 
     def _pc(x):
         return (pulse_compress_matmul(x, mplan,
@@ -102,11 +107,20 @@ def make_trial_fn(cfg: RadarConfig, precomp: Precomputed,
         if lowrank:
             # echo here is the precomputed signal RDM (see trials below);
             # per trial: white beam noise -> PC -> MTD -> Cholesky mix
-            z = white_complex_noise(
-                key, (cfg.sig.prt_num, cfg.sig.point_prt, dbf_w.shape[0]),
-                echo.dtype, impl=cfg.noise_prng)
+            if nplan is not None:
+                z = white_complex_noise(
+                    key, (cfg.sig.prt_num, nlen, dbf_w.shape[0]),
+                    echo.dtype, impl=cfg.noise_prng)
+                pcz = pulse_compress_matmul(z, nplan,
+                                            precision=cfg.matmul_precision)
+            else:
+                z = white_complex_noise(
+                    key,
+                    (cfg.sig.prt_num, cfg.sig.point_prt, dbf_w.shape[0]),
+                    echo.dtype, impl=cfg.noise_prng)
+                pcz = _pc(z)
             rdm = echo + jnp.einsum(
-                "vgj,bj->vgb", _mtd(_pc(z)),
+                "vgj,bj->vgb", _mtd(pcz),
                 jnp.asarray(l_np).astype(echo.dtype),
                 preferred_element_type=echo.dtype)
         else:
@@ -119,7 +133,8 @@ def make_trial_fn(cfg: RadarConfig, precomp: Precomputed,
             rdm = _mtd(pc)
         maps = pair_sum_maps(rdm)
         mask, _ = goca_cfar_2d(maps, cfg.cfar)
-        dets = extract_detections(mask, maps, cfg.cfar.max_detections)
+        dets = extract_detections(mask, maps, cfg.cfar.max_detections,
+                                  native_scan=cfg.extract_native_scan)
         params = estimate_parameters(
             dets, maps, rdm, mc, ip.extra_dots, ip.r_interp_times,
             ip.v_interp_times, monopulse_complex=cfg.monopulse_complex)

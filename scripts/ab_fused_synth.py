@@ -75,6 +75,8 @@ def main():
             kw["matmul_precision"] = "bf16"
         if "rbg" in v:
             kw["noise_prng"] = "rbg"
+        if "nscan" in v:
+            kw["extract_native_scan"] = True
         dts[v] = time_variant(cfg.replace(**kw) if kw else cfg, targets, v)
     if len(dts) > 1:
         base = list(dts.values())[0]

@@ -109,3 +109,15 @@ def test_first_k_true_indices_random():
     idx, valid = first_k_true_indices(jnp.asarray(flat), 8, row_width=512)
     np.testing.assert_array_equal(np.asarray(idx)[np.asarray(valid)],
                                   [0, 511, 512, 1023, 1024, 4095])
+
+
+def test_extract_native_scan_matches_default():
+    rng = np.random.default_rng(9)
+    mask = rng.uniform(size=(32, 200, 5)) < 0.004  # ~128 hits, under cap
+    maps = rng.uniform(1.0, 9.0, size=(32, 200, 5))
+    a = extract_detections(jnp.asarray(mask), jnp.asarray(maps), 256)
+    b = extract_detections(jnp.asarray(mask), jnp.asarray(maps), 256,
+                           native_scan=True)
+    for f in ("v_idx", "r_idx", "pair_idx", "amp", "valid", "count"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                      np.asarray(getattr(b, f)), err_msg=f)

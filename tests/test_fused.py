@@ -121,7 +121,8 @@ def test_lowrank_rdm_matches_fused_exactly():
     outs = []
     for lowrank in (False, True):
         cfg = small_test_config().replace(fused_synth_dbf=True,
-                                          lowrank_rdm=lowrank)
+                                          lowrank_rdm=lowrank,
+                                          compact_noise=False)
         process = make_frame_processor(cfg, dtype=jnp.complex64)
         outs.append(process(jax.random.PRNGKey(5), tb))
     a, b = outs
@@ -137,3 +138,48 @@ def test_lowrank_rdm_matches_fused_exactly():
     np.testing.assert_allclose(np.asarray(a.targets.angle_deg)[av],
                                np.asarray(b.targets.angle_deg)[bv],
                                rtol=1e-3, atol=1e-3)
+
+
+def test_compact_noise_plan_exact_remap():
+    """Feeding the union-window slices of a full cube through the compacted
+    plan must reproduce the full-plan PC output exactly (the remap is pure
+    index bookkeeping)."""
+    from radar_tpu.ops.pulse_compression import (compact_noise_plan,
+                                                 make_matmul_plan,
+                                                 pulse_compress_matmul)
+
+    cfg = small_test_config(channels=8, pulses=8)
+    pre = precompute(cfg)
+    mplan = make_matmul_plan(pre)
+    nplan, nlen = compact_noise_plan(mplan)
+    assert nlen <= cfg.sig.point_prt
+    rng = np.random.default_rng(2)
+    full = (rng.normal(size=(8, cfg.sig.point_prt, 3))
+            + 1j * rng.normal(size=(8, cfg.sig.point_prt, 3))
+            ).astype(np.complex64)
+    # build the compacted cube by copying the merged windows
+    intervals = sorted((w0, w0 + wl) for w0, wl, _ in mplan.chunks)
+    merged = []
+    for a, b in intervals:
+        if merged and a <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], b)
+        else:
+            merged.append([a, b])
+    compact = np.concatenate([full[:, a:b] for a, b in merged], axis=1)
+    assert compact.shape[1] == nlen
+    want = np.asarray(pulse_compress_matmul(jnp.asarray(full), mplan))
+    got = np.asarray(pulse_compress_matmul(jnp.asarray(compact), nplan))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_compact_noise_pipeline_detects_truth():
+    cfg = small_test_config().replace(fused_synth_dbf=True, lowrank_rdm=True,
+                                      compact_noise=True)
+    process = make_frame_processor(cfg, dtype=jnp.complex64)
+    tb = TargetBatch.make([3000.0], [15.0], [10.0], [20.0])
+    res = process(jax.random.PRNGKey(0), tb)
+    n = int(res.num_final)
+    assert n >= 1
+    pre = precompute(cfg)
+    r = np.asarray(res.targets.range_m)[:n]
+    assert np.min(np.abs(r - 3000.0)) < 2 * pre.delta_r
