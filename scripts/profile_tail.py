@@ -1,7 +1,7 @@
-"""Integrated sub-stage breakdown of the detection tail (extract ->
-estimate -> cluster1 -> cluster2) by timing successively longer pipeline
-prefixes inside on-device fori_loops (isolated tail timings are meaningless:
-fusion with the surrounding graph changes costs 10x — ROADMAP.md).
+"""Integrated sub-stage breakdown of the PERF-CONFIG pipeline (lowrank +
+bf16 + rbg + compact noise) by timing successively longer pipeline prefixes
+inside on-device fori_loops (isolated stage timings are meaningless: fusion
+with the surrounding graph changes costs 10x — ROADMAP.md).
 
 Writes results/tail_profile.json when run on the accelerator."""
 
@@ -47,18 +47,20 @@ def main() -> None:
                                     pair_sum_maps)
     from radar_tpu.ops.dbf import dbf_weights_effective_np
     from radar_tpu.ops.mtd import make_mtd_matrix, mtd_matmul
-    from radar_tpu.ops.pulse_compression import (make_matmul_plan,
+    from radar_tpu.ops.pulse_compression import (compact_noise_plan,
+                                                 make_matmul_plan,
                                                  pulse_compress_matmul)
     from radar_tpu.pipeline.frame import measure_consts
-    from radar_tpu.sim.echo import (add_noise_beamspace, beam_noise_factor,
-                                    synthesize_echo_beams)
+    from radar_tpu.sim.echo import (beam_noise_factor, synthesize_factors,
+                                    white_complex_noise)
     from radar_tpu.sim.scenario import TargetBatch
     from radar_tpu.waveform.precompute import precompute
 
-    cfg = full_config().replace(fused_synth_dbf=True,
-                                matmul_precision="bf16")
+    cfg = full_config().replace(fused_synth_dbf=True, lowrank_rdm=True,
+                                matmul_precision="bf16", noise_prng="rbg")
     pre = precompute(cfg)
     mplan = make_matmul_plan(pre)
+    nplan, nlen = compact_noise_plan(mplan)
     mtd_mat = make_mtd_matrix(pre.mtd_win, cfg.sig.prt_num, cfg.mtd_fft_len)
     mc = measure_consts(cfg, pre, np.float32)
     w_eff = dbf_weights_effective_np(np.asarray(pre.dbf_w), cfg.dbf_variant)
@@ -68,26 +70,36 @@ def main() -> None:
                        TargetBatch.make([3000.0, 10000.0], [20.0, 25.0],
                                         [10.0, 10.0], [10.0, 15.0])])
     ip = cfg.interp
+    P, B = cfg.sig.prt_num, cfg.sig.beam_num
 
     def upto(stage):
         def step(key):
-            # per-iteration range jitter: synthesis is loop-hoisted otherwise
-            # (it has no key input), and exp(j*phase(R)) can't be factored
             ku, kn = jax.random.split(key)
             tb_i = tb._replace(range_m=tb.range_m + jax.random.uniform(
                 ku, tb.range_m.shape))
-            key = kn
-            sig = synthesize_echo_beams(tb_i, pre, cfg, mix)
-            if stage == "synth":
-                return jnp.sum(jnp.abs(sig))
-            beams = add_noise_beamspace(key, sig, l_np)
-            if stage == "noise":
-                return jnp.sum(jnp.abs(beams))
-            pc = pulse_compress_matmul(beams, mplan, precision="bf16")
+            dop_amp, base, steer_b = synthesize_factors(tb_i, pre, cfg, mix)
+            pc_base = pulse_compress_matmul(base[:, :, None], mplan,
+                                            precision="bf16")[:, :, 0]
+            dop_v = mtd_matmul(dop_amp.T[:, None, :], mtd_mat,
+                               precision="bf16")[:, 0, :].T
+            rdm_sig = jnp.einsum("kv,kj,kb->vjb", dop_v, pc_base, steer_b,
+                                 preferred_element_type=jnp.complex64)
+            if stage == "rdm_sig":
+                return jnp.sum(jnp.abs(rdm_sig))
+            z = white_complex_noise(kn, (P, nlen, B), impl="rbg")
+            if stage == "zgen":
+                return jnp.sum(jnp.abs(rdm_sig)) + jnp.sum(jnp.abs(z))
+            pc_z = pulse_compress_matmul(z, nplan, precision="bf16")
             if stage == "pc":
-                return jnp.sum(jnp.abs(pc))
-            rdm = mtd_matmul(pc, mtd_mat, precision="bf16")
+                return jnp.sum(jnp.abs(rdm_sig)) + jnp.sum(jnp.abs(pc_z))
+            rdm_z = mtd_matmul(pc_z, mtd_mat, precision="bf16")
             if stage == "mtd":
+                return jnp.sum(jnp.abs(rdm_sig)) + jnp.sum(jnp.abs(rdm_z))
+            rdm = rdm_sig + jnp.einsum(
+                "vgj,bj->vgb", rdm_z,
+                jnp.asarray(l_np).astype(jnp.complex64),
+                preferred_element_type=jnp.complex64)
+            if stage == "mix":
                 return jnp.sum(jnp.abs(rdm))
             maps = pair_sum_maps(rdm)
             mask, _ = goca_cfar_2d(maps, cfg.cfar)
@@ -105,18 +117,15 @@ def main() -> None:
                         + jnp.sum(jnp.abs(params.velocity_ms))
                         + jnp.sum(jnp.abs(params.angle_deg)))
             s1 = cluster_stage1(params, cfg.cluster)
-            if stage == "cluster1":
-                return (jnp.sum(jnp.abs(s1.range_m))
-                        + jnp.sum(jnp.abs(s1.power)))
             final = cluster_stage2(s1, cfg.cluster)
             return (jnp.sum(jnp.abs(final.range_m))
                     + jnp.sum(jnp.abs(final.power)))
         return step
 
-    out = {"device": jax.devices()[0].device_kind}
+    out = {"device": jax.devices()[0].device_kind, "config": "perf(lowrank)"}
     prev = 0.0
-    for stage in ("synth", "noise", "pc", "mtd", "cfar", "extract",
-                  "estimate", "cluster1", "cluster2"):
+    for stage in ("rdm_sig", "zgen", "pc", "mtd", "mix", "cfar", "extract",
+                  "estimate", "cluster"):
         dt = loop_time(upto(stage))
         out[stage + "_cum_ms"] = round(1e3 * dt, 3)
         out[stage + "_delta_ms"] = round(1e3 * (dt - prev), 3)

@@ -5,9 +5,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from radar_tpu.config.params import CfarParams
+from radar_tpu.config.params import CfarParams, small_test_config
 from radar_tpu.ops.cfar import goca_cfar_2d, pair_sum_maps
 from radar_tpu.ops.pallas_kernels import goca_cfar_2d_pallas
+from radar_tpu.waveform.precompute import precompute
 
 
 @pytest.mark.parametrize("method", ["GOCA", "SOCA", "CA"])
@@ -48,3 +49,28 @@ def test_pallas_cfar_in_pipeline_shape():
     mask, thr = goca_cfar_2d_pallas(jnp.asarray(mag), params, interpret=True)
     assert mask.shape == (40, 512, 4)
     assert thr.shape == (40, 512, 4)
+
+
+def test_pallas_pc_matches_matmul_plan():
+    """Banded-conv Pallas PC (ops/pallas_pc.py, interpret mode): exact match
+    with the XLA banded-Toeplitz plan on the same compact white noise."""
+    from radar_tpu.ops.pallas_pc import (make_pallas_pc_plan,
+                                         pulse_compress_noise_pallas)
+    from radar_tpu.ops.pulse_compression import (compact_noise_plan,
+                                                 make_matmul_plan,
+                                                 pulse_compress_matmul)
+
+    cfg = small_test_config(channels=8, pulses=8)
+    pre = precompute(cfg)
+    nplan, nlen = compact_noise_plan(make_matmul_plan(pre))
+    pplan = make_pallas_pc_plan(pre)
+    assert pplan.s_compact == nlen
+    rng = np.random.default_rng(0)
+    z = (rng.normal(size=(3, 8, nlen))
+         + 1j * rng.normal(size=(3, 8, nlen))).astype(np.complex64)
+    got = np.asarray(pulse_compress_noise_pallas(
+        jnp.asarray(z), pplan, interpret=True, mul_dtype=jnp.float32))
+    zt = jnp.asarray(np.transpose(z, (1, 2, 0)))
+    want = np.transpose(np.asarray(pulse_compress_matmul(zt, nplan)),
+                        (2, 0, 1))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=2e-4)
