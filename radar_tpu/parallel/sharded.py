@@ -76,19 +76,39 @@ def make_sharded_frame_processor(cfg: RadarConfig, mesh: Mesh,
     repl = NamedSharding(mesh, P())
     cs = jax.lax.with_sharding_constraint
 
+    lowrank = cfg.lowrank_rdm and cfg.fused_synth_dbf
+    if lowrank:
+        from ..pipeline.lowrank import make_lowrank_stages
+
+        lr = make_lowrank_stages(cfg, precomp, plan, mplan, mtd_mat,
+                                 mtd_win, dtype)
+
     def process(key, targets: TargetBatch):
-        raw = synthesize_echoes(targets, precomp, cfg, dtype=dtype)
-        raw = cs(raw, cube_spec)
-        noisy = add_noise(key, raw)
-        noisy = cs(noisy, cube_spec)
-        beams = cs(dbf(noisy, dbf_w, cfg.dbf_variant), beams_spec)
-        pc_out = (pulse_compress_matmul(beams, mplan) if mplan is not None
-                  else pulse_compress(beams, precomp, plan))
-        pc = cs(pc_out, beams_spec)
-        # reshard pulses->gates for the slow-time FFT (Ulysses-style swap)
-        pc = cs(pc, gate_spec)
-        rdm = cs(mtd_matmul(pc, mtd_mat) if mtd_mat is not None
-                 else mtd(pc, mtd_win, cfg.mtd_fft_len), gate_spec)
+        if lowrank:
+            # lowrank sharding: there is no channel cube to ch-shard — the
+            # white beam-noise cube shards over pulses (dp,cpi); PC is
+            # pulse-parallel; the pulses->gates reshard (all_to_all) feeds
+            # the slow-time MTD matmul; mixing/signal-add are gate-sharded
+            rdm_sig = lr.signal_rdm(targets)        # tiny rank-K, replicated
+            z = cs(lr.gen_noise(key), beams_spec)
+            pc_z = cs(lr.pc(z), beams_spec)
+            pc_z = cs(pc_z, gate_spec)              # Ulysses-style swap
+            rdm_z = cs(lr.mtd(pc_z), gate_spec)
+            rdm = cs(lr.mix_add(cs(rdm_sig, gate_spec), rdm_z), gate_spec)
+        else:
+            raw = synthesize_echoes(targets, precomp, cfg, dtype=dtype)
+            raw = cs(raw, cube_spec)
+            noisy = add_noise(key, raw)
+            noisy = cs(noisy, cube_spec)
+            beams = cs(dbf(noisy, dbf_w, cfg.dbf_variant), beams_spec)
+            pc_out = (pulse_compress_matmul(beams, mplan)
+                      if mplan is not None
+                      else pulse_compress(beams, precomp, plan))
+            pc = cs(pc_out, beams_spec)
+            # reshard pulses->gates for the slow-time FFT (Ulysses swap)
+            pc = cs(pc, gate_spec)
+            rdm = cs(mtd_matmul(pc, mtd_mat) if mtd_mat is not None
+                     else mtd(pc, mtd_win, cfg.mtd_fft_len), gate_spec)
         maps = cs(pair_sum_maps(rdm), gate_spec)
         mask, _ = goca_cfar_2d(maps, cfg.cfar)
         # detection extraction & everything after is tiny: replicate

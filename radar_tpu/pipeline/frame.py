@@ -32,8 +32,7 @@ from ..ops.mtd import make_mtd_matrix, mtd, mtd_matmul
 from ..ops.pulse_compression import (make_matmul_plan, make_plan,
                                      pulse_compress, pulse_compress_matmul)
 from ..sim.echo import (add_noise, add_noise_beamspace, beam_noise_factor,
-                        synthesize_echo_beams, synthesize_echoes,
-                        synthesize_factors, white_complex_noise)
+                        synthesize_echo_beams, synthesize_echoes)
 from ..sim.scenario import TargetBatch
 from ..waveform.precompute import Precomputed, precompute
 
@@ -129,57 +128,19 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
         l_np = beam_noise_factor(w_eff)               # [B,B]
 
     lowrank = cfg.lowrank_rdm and fused
-    nplan, nlen = (None, 0)
-    if lowrank and cfg.compact_noise and mplan is not None:
-        from ..ops.pulse_compression import compact_noise_plan
+    if lowrank:
+        from .lowrank import make_lowrank_stages
 
-        nplan, nlen = compact_noise_plan(mplan)
+        lr = make_lowrank_stages(cfg, precomp, plan, mplan, mtd_mat,
+                                 mtd_win, dtype)
 
     def process(key, targets: TargetBatch):
         if lowrank:
             # rank-K deterministic RDM + post-MTD noise mixing: PC contracts
             # fast time, MTD slow time, the Cholesky mix beams — disjoint
             # axes, so all three commute (exact up to float reassociation)
-            dop_amp, base, steer_b = synthesize_factors(
-                targets, precomp, cfg, mix_np, dtype=dtype)
-            if mplan is not None:
-                pc_base = pulse_compress_matmul(
-                    base[:, :, None], mplan,
-                    precision=cfg.matmul_precision)[:, :, 0]   # [K, gates]
-            else:
-                pc_base = pulse_compress(base[:, :, None], precomp,
-                                         plan)[:, :, 0]
-            if mtd_mat is not None:
-                dop_v = mtd_matmul(dop_amp.T[:, None, :], mtd_mat,
-                                   precision=cfg.matmul_precision
-                                   )[:, 0, :].T               # [K, n_dop]
-            else:
-                dop_v = mtd(dop_amp.T[:, None, :], mtd_win,
-                            cfg.mtd_fft_len)[:, 0, :].T
-            rdm_sig = jnp.einsum("kv,kj,kb->vjb", dop_v, pc_base, steer_b,
-                                 preferred_element_type=dtype)
-            if nplan is not None:
-                z = white_complex_noise(
-                    key, (cfg.sig.prt_num, nlen, dbf_w.shape[0]),
-                    dtype, impl=cfg.noise_prng)
-                pc_z = pulse_compress_matmul(
-                    z, nplan, precision=cfg.matmul_precision)
-            else:
-                z = white_complex_noise(
-                    key,
-                    (cfg.sig.prt_num, cfg.sig.point_prt, dbf_w.shape[0]),
-                    dtype, impl=cfg.noise_prng)
-                pc_z = (pulse_compress_matmul(
-                            z, mplan, precision=cfg.matmul_precision)
-                        if mplan is not None
-                        else pulse_compress(z, precomp, plan))
-            rdm_z = (mtd_matmul(pc_z, mtd_mat,
-                                precision=cfg.matmul_precision)
-                     if mtd_mat is not None
-                     else mtd(pc_z, mtd_win, cfg.mtd_fft_len))
-            rdm = rdm_sig + jnp.einsum(
-                "vgj,bj->vgb", rdm_z, jnp.asarray(l_np).astype(dtype),
-                preferred_element_type=dtype)
+            rdm = lr.mix_add(lr.signal_rdm(targets),
+                             lr.mtd(lr.pc(lr.gen_noise(key))))
         elif fused:
             sig_beams = synthesize_echo_beams(targets, precomp, cfg, mix_np,
                                               dtype=dtype)

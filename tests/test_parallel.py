@@ -102,3 +102,27 @@ def test_multihost_helpers_single_process():
     assert mesh.shape["dp"] == 4 and mesh.shape["ch"] == 2
     # one process owns the whole dp batch
     assert multihost.local_batch_slice(8, mesh) == slice(0, 8)
+
+
+@pytest.mark.parametrize("dp,ch,cpi", [(1, 1, 8), (2, 1, 4)])
+def test_sharded_lowrank_matches_single_device(dp, ch, cpi):
+    """The lowrank perf path sharded over the mesh (no channel cube; pulse-
+    sharded noise, all_to_all into MTD) matches the single-device lowrank
+    pipeline exactly (same draws)."""
+    cfg = small_test_config(channels=8, pulses=32).replace(
+        fused_synth_dbf=True, lowrank_rdm=True)
+    pre = precompute(cfg)
+    mesh = make_mesh(dp=dp, ch=ch, cpi=cpi)
+    tb = TargetBatch.make([3000.0, 9000.0], [10.0, 20.0], [10.0, 5.0],
+                          [18.0, 15.0])
+    key = jax.random.PRNGKey(0)
+    single = make_frame_processor(cfg, pre, dtype=jnp.complex64)(key, tb)
+    sharded = make_sharded_frame_processor(cfg, mesh, pre,
+                                           dtype=jnp.complex64)(key, tb)
+    assert int(single.num_raw_detections) == int(sharded.num_raw_detections)
+    assert int(single.num_final) == int(sharded.num_final)
+    sv = np.asarray(single.targets.valid)
+    np.testing.assert_array_equal(sv, np.asarray(sharded.targets.valid))
+    np.testing.assert_allclose(np.asarray(single.targets.range_m)[sv],
+                               np.asarray(sharded.targets.range_m)[sv],
+                               rtol=1e-4)
