@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--rbg", action="store_true",
                     help="rbg PRNG family for the noise draws")
     ap.add_argument("--out", default="snr_sweep.png")
+    ap.add_argument("--json", default=None,
+                    help="also write the sweep arrays to this JSON path")
     ap.add_argument("--snr", default="-10:2:30",
                     help="start:step:stop in dB (MATLAB colon syntax); "
                          "use --snr=-10:2:30 form for negative starts")
@@ -68,6 +70,26 @@ def main() -> None:
         print(f"  SNR {s:+6.1f} dB: Pd={res.detection_probability[i]:5.2f} "
               f"sigma={res.angle_error_std[i]:8.4f} deg "
               f"(bound {res.theory_bound[i]:.4f})")
+    if args.json:
+        import json
+
+        import jax
+
+        with open(args.json, "w") as fh:
+            json.dump({
+                "config": "small" if args.small else "full",
+                "pipeline": {"fused": args.fused, "lowrank": args.lowrank,
+                             "bf16": args.bf16, "rbg": args.rbg},
+                "snr_db": [float(x) for x in res.snr_db],
+                "angle_error_std_deg": [float(x)
+                                        for x in res.angle_error_std],
+                "detection_probability": [float(x) for x in
+                                          res.detection_probability],
+                "theory_bound_deg": [float(x) for x in res.theory_bound],
+                "trials": args.trials,
+                "device": jax.devices()[0].device_kind,
+            }, fh, indent=1)
+        print("json:", args.json)
     print("figure:", plot_snr_sweep(res, args.out))
 
 

@@ -120,3 +120,20 @@ def test_device_multiframe_matches_host_loop():
     np.testing.assert_allclose(log_d.azimuth_deg, log_h.azimuth_deg,
                                atol=1e-3)
     assert len(tracks_d) == len(tracks_h)
+
+
+def test_monte_carlo_sweep_lowrank_matches_default():
+    """Perf-config trial fn (lowrank + compact noise) reproduces the default
+    path's Pd ladder on the same scene (different random streams, same
+    distribution)."""
+    truth = TargetBatch.make([3000.0], [10.0], [10.0], [0.0])
+    pds = {}
+    for name, kw in (("default", {}),
+                     ("perf", dict(fused_synth_dbf=True, lowrank_rdm=True))):
+        cfg = small_test_config(channels=8, pulses=32).replace(**kw)
+        res = snr_sweep(cfg, snr_db_vector=[-42.0, 25.0], num_trials=12,
+                        truth=truth, seed=3, batch_size=6)
+        pds[name] = res.detection_probability
+    for name in pds:
+        assert pds[name][0] <= 0.3, name      # below the transition
+        assert pds[name][-1] >= 0.9, name     # far above it
