@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--smooth", action="store_true",
                     help="Kalman/RTS-smooth the associated tracks and plot "
                          "the smoothed trajectories")
+    ap.add_argument("--perf", action="store_true",
+                    help="run the perf configuration (rank-K signal RDM + "
+                         "post-MTD beam-noise mixing, bf16 MXU matmuls, rbg "
+                         "PRNG; statistically validated, results/) — ~1.8x "
+                         "the exact-reference-stream path on TPU")
     args = ap.parse_args()
 
     if args.cpu:
@@ -52,6 +57,9 @@ def main() -> None:
     from radar_tpu.waveform.precompute import precompute
 
     cfg = small_test_config() if args.small else full_config()
+    if args.perf:
+        cfg = cfg.replace(fused_synth_dbf=True, lowrank_rdm=True,
+                          matmul_precision="bf16", noise_prng="rbg")
     pre = precompute(cfg)
     scene = default_two_target_scene()
 
