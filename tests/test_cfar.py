@@ -121,3 +121,30 @@ def test_extract_native_scan_matches_default():
     for f in ("v_idx", "r_idx", "pair_idx", "amp", "valid", "count"):
         np.testing.assert_array_equal(np.asarray(getattr(a, f)),
                                       np.asarray(getattr(b, f)), err_msg=f)
+
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_first_k_true_property(data):
+    """For ANY boolean vector, first_k_true_indices returns exactly the
+    first min(count, capacity) true positions in ascending order."""
+    from radar_tpu.ops.cfar import first_k_true_indices
+
+    n = data.draw(st.integers(1, 3000))
+    density = data.draw(st.floats(0.0, 0.2))
+    seed = data.draw(st.integers(0, 2**31))
+    cap = data.draw(st.sampled_from([1, 4, 32, 128]))
+    rw = data.draw(st.sampled_from([64, 256, 4096]))
+    rng = np.random.default_rng(seed)
+    flat = rng.uniform(size=n) < density
+    idx, valid = first_k_true_indices(jnp.asarray(flat), cap, row_width=rw)
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    want = np.flatnonzero(flat)[:cap]
+    assert valid.sum() == len(want)
+    np.testing.assert_array_equal(idx[:len(want)], want)
+    assert np.all(idx[len(want):] == 0)
