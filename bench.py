@@ -45,9 +45,11 @@ def main() -> None:
     # ... and the rank-K closed-form signal RDM with post-MTD noise mixing
     # (exact linear identity with the fused path, same random draws —
     # tests/test_fused.py::test_lowrank_rdm_matches_fused_exactly)
-    # ... and the rbg PRNG family (results/noise_prng.json)
+    # ... the rbg PRNG family (results/noise_prng.json), and the fused
+    # Pallas noise-RDM kernel (PC+MTD+beam-mix one pass, ops/pallas_rdm.py)
     cfg = full_config().replace(fused_synth_dbf=True, lowrank_rdm=True,
-                                matmul_precision="bf16", noise_prng="rbg")
+                                matmul_precision="bf16", noise_prng="rbg",
+                                noise_rdm_impl="pallas")
     precomp = precompute(cfg)
     process = make_frame_processor(cfg, precomp, dtype=jnp.complex64,
                                    jit=False)

@@ -250,6 +250,10 @@ class RadarConfig:
     # into (pair,range,velocity)-major order, instead of relaying the whole
     # cube out transposed first; identical output below capacity
     extract_native_scan: bool = False
+    # lowrank noise-RDM backend: "xla" (banded-Toeplitz PC + MTD matmul +
+    # mix, three stages) or "pallas" (ops/pallas_rdm.py fused one-pass
+    # kernel with double-buffered window DMA; TPU only)
+    noise_rdm_impl: str = "xla"
     # Precision of the heavy constant matmuls (MTD DFT, banded-Toeplitz PC):
     # "f32" = complex64 throughout; "bf16" = bf16 multiply planes with f32
     # accumulation (~2x MXU rate, ~2^-9 input quantization; ops/precision.py)

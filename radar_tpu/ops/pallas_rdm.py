@@ -1,0 +1,253 @@
+"""Fused white-noise RDM Pallas kernel: PC + MTD + Cholesky beam mixing in
+ONE pass.
+
+The lowrank noise chain (pipeline/lowrank.py) is three XLA stages —
+banded-Toeplitz PC, MTD DFT matmul, 13x13 beam mix — each of which round-
+trips the ~118 MB cube through HBM (measured 2.35 ms total, ~2.5x the
+traffic floor). This kernel chains all three on-chip: each grid step DMAs
+one overlapping [pulses, tile+filter-1] window of the white-noise cube into
+VMEM, runs the banded PC matmul and the MTD DFT matmul back to back on the
+MXU (bf16 multiply planes, f32 accumulation), and accumulates the beam-
+mixed contribution L[c,b]*tile_b into the resident output block across the
+beam-innermost grid dimension. z is read once; the mixed noise RDM is
+written once, in beams-major [B, n_dop, gates] layout (lanes = gates).
+
+Exact same arithmetic as
+  einsum('vgj,bj->vgb', mtd_matmul(pulse_compress_matmul(z, bf16), bf16), L)
+up to tile reassociation and the f32 accumulation of 13 beam terms.
+
+Reference semantics unchanged: segmented causal convolution
+(fun_process_single_frame.m:99-127), windowed slow-time DFT (:129-136),
+beam-space noise with the DBF-output covariance (see sim/echo.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_pc import _seg_matrices
+
+
+class RdmSegSpec(NamedTuple):
+    c0: int          # first sample in the compact-z layout
+    r_len: int       # samples read from compact z
+    pad_front: int   # zero causal history
+    pad_tail: int
+    j_len: int       # true output gates
+    tile: int        # output gate tile T
+    window: int      # padded input window W (128-aligned)
+    mpr: np.ndarray  # [W, T] PC filter planes
+    mpi: np.ndarray
+
+
+class RdmPlan(NamedTuple):
+    segments: tuple[RdmSegSpec, ...]
+    s_compact: int
+    n_gates: int
+    n_dop: int
+    dr: np.ndarray   # [V_pad, P_pad] MTD DFT planes (window+fftshift folded)
+    di: np.ndarray
+    p_pad: int
+    v_pad: int
+
+
+def make_rdm_plan(precomp, mtd_matrix, num_pulses: int,
+                  tile: int = 256) -> RdmPlan:
+    g1, g2, _ = precomp.gate_splits
+    n_total = precomp.n_total_gate
+    fd = precomp.fir_delay
+    p_pad = -(-num_pulses // 16) * 16
+    m = np.asarray(mtd_matrix)
+    n_dop = m.shape[0]
+    v_pad = -(-n_dop // 16) * 16
+    dr = np.zeros((v_pad, p_pad), np.float32)
+    di = np.zeros((v_pad, p_pad), np.float32)
+    dr[:n_dop, :num_pulses] = m.real
+    di[:n_dop, :num_pulses] = m.imag
+    segs = []
+    c0 = 0
+    for h, out_lo, out_hi in (
+            (np.asarray(precomp.mf_narrow, np.complex128), fd, fd + g1),
+            (np.asarray(precomp.mf_medium_win), g1, g1 + g2),
+            (np.asarray(precomp.mf_long_win), g1 + g2, n_total)):
+        lh = len(h)
+        t = min(tile, int(2 ** np.ceil(np.log2(out_hi - out_lo))))
+        r0 = max(out_lo - (lh - 1), 0)
+        r_len = out_hi - r0
+        pad_front = (lh - 1) - (out_lo - r0)
+        j_len = out_hi - out_lo
+        ntiles = -(-j_len // t)
+        w = t + lh - 1
+        w_pad = -(-w // 128) * 128
+        xlen_needed = (ntiles - 1) * t + w_pad
+        pad_tail = max(xlen_needed - (pad_front + r_len), 0)
+        mpr, mpi = _seg_matrices(h, t)
+        mpr = np.pad(mpr, ((0, w_pad - w), (0, 0)))
+        mpi = np.pad(mpi, ((0, w_pad - w), (0, 0)))
+        segs.append(RdmSegSpec(c0=c0, r_len=r_len, pad_front=pad_front,
+                               pad_tail=pad_tail, j_len=j_len, tile=t,
+                               window=w_pad, mpr=mpr, mpi=mpi))
+        c0 += r_len
+    return RdmPlan(segments=tuple(segs), s_compact=c0, n_gates=n_total,
+                   n_dop=n_dop, dr=dr, di=di, p_pad=p_pad, v_pad=v_pad)
+
+
+def _make_kernel(p_pad: int, v_pad: int, window: int, num_b: int,
+                 mul_dtype):
+    def kernel(xr_hbm, xi_hbm, mpr_ref, mpi_ref, dr_ref, di_ref,
+               lr_ref, li_ref, yr_ref, yi_ref, mtr_s, mti_s, sems,
+               xr_s, xi_s):
+        t = pl.program_id(0)
+        b = pl.program_id(1)
+        n_t = pl.num_programs(0)
+        tile = yr_ref.shape[-1]
+
+        # double-buffered window prefetch: scratch slot alternates with the
+        # linear step index; each step starts the NEXT step's DMA before
+        # waiting on its own (started by the previous step; step 0 warms up)
+        step = t * num_b + b
+        slot = jax.lax.rem(step, jnp.int32(2))
+        nslot = 1 - slot
+
+        def dma(s, stp):
+            tt = stp // num_b
+            bb = jax.lax.rem(stp, jnp.int32(num_b))
+            return (pltpu.make_async_copy(
+                        xr_hbm.at[bb, :, pl.ds(tt * tile, window)],
+                        xr_s.at[s], sems.at[s, 0]),
+                    pltpu.make_async_copy(
+                        xi_hbm.at[bb, :, pl.ds(tt * tile, window)],
+                        xi_s.at[s], sems.at[s, 1]))
+
+        @pl.when(step == 0)
+        def _():
+            r0, i0 = dma(slot, step)
+            r0.start()
+            i0.start()
+
+        @pl.when(step + 1 < n_t * num_b)
+        def _():
+            rn, in_ = dma(nslot, step + 1)
+            rn.start()
+            in_.start()
+
+        cur_r, cur_i = dma(slot, step)
+        cur_r.wait()
+        cur_i.wait()
+        xr = xr_s[slot]
+        xi = xi_s[slot]
+        mpr = mpr_ref[:]
+        mpi = mpi_ref[:]
+        f32 = jnp.float32
+        pcr = (jnp.dot(xr, mpr, preferred_element_type=f32)
+               - jnp.dot(xi, mpi, preferred_element_type=f32))
+        pci = (jnp.dot(xr, mpi, preferred_element_type=f32)
+               + jnp.dot(xi, mpr, preferred_element_type=f32))
+        pcr16 = pcr.astype(mul_dtype)
+        pci16 = pci.astype(mul_dtype)
+        dr = dr_ref[:]
+        di = di_ref[:]
+        # buffer this beam's UNMIXED mtd tile; the 13x13 mix runs once per
+        # gate tile as an MXU contraction (a per-beam VPU accumulation is
+        # B^2 elementwise passes — measured 28% slower than the XLA chain)
+        mtr_s[b] = (jnp.dot(dr, pcr16, preferred_element_type=f32)
+                    - jnp.dot(di, pci16, preferred_element_type=f32)
+                    ).astype(mul_dtype)
+        mti_s[b] = (jnp.dot(dr, pci16, preferred_element_type=f32)
+                    + jnp.dot(di, pcr16, preferred_element_type=f32)
+                    ).astype(mul_dtype)
+
+        @pl.when(b == num_b - 1)
+        def _():
+            lr = lr_ref[:]
+            li = li_ref[:]
+            mtr = mtr_s[:]
+            mti = mti_s[:]
+            dn = (((1,), (0,)), ((), ()))
+            rr = jax.lax.dot_general(lr, mtr, dn, preferred_element_type=f32)
+            ri = jax.lax.dot_general(lr, mti, dn, preferred_element_type=f32)
+            ir = jax.lax.dot_general(li, mtr, dn, preferred_element_type=f32)
+            ii = jax.lax.dot_general(li, mti, dn, preferred_element_type=f32)
+            yr_ref[...] = rr - ii
+            yi_ref[...] = ri + ir
+
+    return kernel
+
+
+def noise_rdm_pallas(z: jnp.ndarray, plan: RdmPlan, l_factor,
+                     interpret: bool = False,
+                     mul_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """White compact noise z [beams, pulses, s_compact] complex ->
+    beam-mixed noise RDM [n_dop, gates, beams] complex64 (the downstream
+    [V, G, B] layout; the kernel computes beams-major and one transposed
+    copy restores it)."""
+    num_b, num_p, s_c = z.shape
+    assert s_c == plan.s_compact, (s_c, plan.s_compact)
+    zr = jnp.real(z).astype(mul_dtype)
+    zi = jnp.imag(z).astype(mul_dtype)
+    l_np = np.asarray(l_factor)
+    lr = jnp.asarray(l_np.real, jnp.float32)
+    li = jnp.asarray(l_np.imag, jnp.float32)
+    pieces = []
+    for seg in plan.segments:
+        ntiles = -(-seg.j_len // seg.tile)
+        jpad = ntiles * seg.tile
+        xr = jnp.pad(zr[:, :, seg.c0:seg.c0 + seg.r_len],
+                     ((0, 0), (0, plan.p_pad - num_p),
+                      (seg.pad_front, seg.pad_tail)))
+        xi = jnp.pad(zi[:, :, seg.c0:seg.c0 + seg.r_len],
+                     ((0, 0), (0, plan.p_pad - num_p),
+                      (seg.pad_front, seg.pad_tail)))
+        kernel = _make_kernel(plan.p_pad, plan.v_pad, seg.window, num_b,
+                              mul_dtype)
+        const_spec = lambda shp: pl.BlockSpec(shp, lambda t, b: (0, 0),
+                                              memory_space=pltpu.VMEM)
+        yr, yi = pl.pallas_call(
+            kernel,
+            grid=(ntiles, num_b),   # beams innermost: out block accumulates
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                const_spec((seg.window, seg.tile)),
+                const_spec((seg.window, seg.tile)),
+                const_spec((plan.v_pad, plan.p_pad)),
+                const_spec((plan.v_pad, plan.p_pad)),
+                const_spec((num_b, num_b)),
+                const_spec((num_b, num_b)),
+            ],
+            out_specs=[
+                pl.BlockSpec((num_b, plan.v_pad, seg.tile),
+                             lambda t, b: (0, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((num_b, plan.v_pad, seg.tile),
+                             lambda t, b: (0, 0, t),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((num_b, plan.v_pad, jpad), jnp.float32),
+                jax.ShapeDtypeStruct((num_b, plan.v_pad, jpad), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((num_b, plan.v_pad, seg.tile), mul_dtype),
+                pltpu.VMEM((num_b, plan.v_pad, seg.tile), mul_dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.VMEM((2, plan.p_pad, seg.window), mul_dtype),
+                pltpu.VMEM((2, plan.p_pad, seg.window), mul_dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(xr, xi, jnp.asarray(seg.mpr, mul_dtype),
+          jnp.asarray(seg.mpi, mul_dtype),
+          jnp.asarray(plan.dr, mul_dtype), jnp.asarray(plan.di, mul_dtype),
+          lr.astype(mul_dtype), li.astype(mul_dtype))
+        pieces.append(jax.lax.complex(yr[:, :plan.n_dop, :seg.j_len],
+                                      yi[:, :plan.n_dop, :seg.j_len]))
+    bm = jnp.concatenate(pieces, axis=2)          # [B, V, G]
+    return jnp.transpose(bm, (1, 2, 0)).astype(jnp.complex64)

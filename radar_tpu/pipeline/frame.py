@@ -139,8 +139,12 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
             # rank-K deterministic RDM + post-MTD noise mixing: PC contracts
             # fast time, MTD slow time, the Cholesky mix beams — disjoint
             # axes, so all three commute (exact up to float reassociation)
-            rdm = lr.mix_add(lr.signal_rdm(targets),
-                             lr.mtd(lr.pc(lr.gen_noise(key))))
+            if lr.noise_rdm is not None:
+                rdm = lr.signal_rdm(targets) + lr.noise_rdm(
+                    key, interpret=jax.default_backend() == "cpu")
+            else:
+                rdm = lr.mix_add(lr.signal_rdm(targets),
+                                 lr.mtd(lr.pc(lr.gen_noise(key))))
         elif fused:
             sig_beams = synthesize_echo_beams(targets, precomp, cfg, mix_np,
                                               dtype=dtype)

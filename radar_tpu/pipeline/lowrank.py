@@ -30,6 +30,9 @@ class LowrankStages(NamedTuple):
     pc: Callable            # z -> [P, G, B] (compact plan when enabled)
     mtd: Callable           # pc -> [V, G, B]
     mix_add: Callable       # (rdm_sig, rdm_z) -> final RDM [V, G, B]
+    # fused one-pass alternative (cfg.noise_rdm_impl="pallas"): (key,
+    # interpret) -> beam-mixed noise RDM [V, G, B]; None when unavailable
+    noise_rdm: Callable | None = None
 
 
 def make_lowrank_stages(cfg: RadarConfig, precomp, plan, mplan,
@@ -76,5 +79,22 @@ def make_lowrank_stages(cfg: RadarConfig, precomp, plan, mplan,
             "vgj,bj->vgb", rdm_z, jnp.asarray(l_np).astype(dtype),
             preferred_element_type=dtype)
 
+    noise_rdm = None
+    if (cfg.noise_rdm_impl == "pallas" and mplan is not None
+            and mtd_mat is not None):
+        from ..ops.pallas_rdm import make_rdm_plan, noise_rdm_pallas
+
+        rplan = make_rdm_plan(precomp, mtd_mat, cfg.sig.prt_num, tile=128)
+
+        def noise_rdm(key, interpret=False):
+            # beams-major white cube for the fused kernel (free relabeling
+            # of iid noise draws)
+            z = white_complex_noise(
+                key, (num_b, cfg.sig.prt_num, rplan.s_compact), dtype,
+                impl=cfg.noise_prng)
+            return noise_rdm_pallas(
+                z, rplan, l_np, interpret=interpret,
+                mul_dtype=jnp.float32 if interpret else jnp.bfloat16)
+
     return LowrankStages(signal_rdm=signal_rdm, gen_noise=gen_noise, pc=pc,
-                         mtd=_mtd, mix_add=mix_add)
+                         mtd=_mtd, mix_add=mix_add, noise_rdm=noise_rdm)

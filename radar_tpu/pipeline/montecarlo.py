@@ -88,11 +88,11 @@ def make_trial_fn(cfg: RadarConfig, precomp: Precomputed,
         l_np = beam_noise_factor(w_eff)
 
     lowrank = cfg.lowrank_rdm and cfg.fused_synth_dbf
-    nplan, nlen = (None, 0)
-    if lowrank and cfg.compact_noise and mplan is not None:
-        from ..ops.pulse_compression import compact_noise_plan
+    if lowrank:
+        from .lowrank import make_lowrank_stages
 
-        nplan, nlen = compact_noise_plan(mplan)
+        lr = make_lowrank_stages(cfg, precomp, plan, mplan, mtd_mat,
+                                 mtd_win, dtype)
 
     def _pc(x):
         return (pulse_compress_matmul(x, mplan,
@@ -107,22 +107,11 @@ def make_trial_fn(cfg: RadarConfig, precomp: Precomputed,
         if lowrank:
             # echo here is the precomputed signal RDM (see trials below);
             # per trial: white beam noise -> PC -> MTD -> Cholesky mix
-            if nplan is not None:
-                z = white_complex_noise(
-                    key, (cfg.sig.prt_num, nlen, dbf_w.shape[0]),
-                    echo.dtype, impl=cfg.noise_prng)
-                pcz = pulse_compress_matmul(z, nplan,
-                                            precision=cfg.matmul_precision)
+            if lr.noise_rdm is not None:
+                rdm = echo + lr.noise_rdm(
+                    key, interpret=jax.default_backend() == "cpu")
             else:
-                z = white_complex_noise(
-                    key,
-                    (cfg.sig.prt_num, cfg.sig.point_prt, dbf_w.shape[0]),
-                    echo.dtype, impl=cfg.noise_prng)
-                pcz = _pc(z)
-            rdm = echo + jnp.einsum(
-                "vgj,bj->vgb", _mtd(pcz),
-                jnp.asarray(l_np).astype(echo.dtype),
-                preferred_element_type=echo.dtype)
+                rdm = lr.mix_add(echo, lr.mtd(lr.pc(lr.gen_noise(key))))
         else:
             if cfg.fused_synth_dbf:
                 beams = add_noise_beamspace(key, echo, l_np)
@@ -146,12 +135,7 @@ def make_trial_fn(cfg: RadarConfig, precomp: Precomputed,
 
     def trials(targets, keys):
         if lowrank:
-            dop_amp, base, steer_b = synthesize_factors(
-                targets, precomp, cfg, mix_np, dtype=dtype)
-            pc_base = _pc(base[:, :, None])[:, :, 0]
-            dop_v = _mtd(dop_amp.T[:, None, :])[:, 0, :].T
-            echo = jnp.einsum("kv,kj,kb->vjb", dop_v, pc_base, steer_b,
-                              preferred_element_type=dtype)  # signal RDM
+            echo = lr.signal_rdm(targets)  # rank-K closed-form signal RDM
         elif cfg.fused_synth_dbf:
             echo = synthesize_echo_beams(targets, precomp, cfg, mix_np,
                                          dtype=dtype)

@@ -77,6 +77,8 @@ def main():
             kw["noise_prng"] = "rbg"
         if "nscan" in v:
             kw["extract_native_scan"] = True
+        if "prdm" in v:
+            kw["noise_rdm_impl"] = "pallas"
         dts[v] = time_variant(cfg.replace(**kw) if kw else cfg, targets, v)
     if len(dts) > 1:
         base = list(dts.values())[0]

@@ -33,6 +33,8 @@ def main() -> None:
                     help="rank-K signal RDM + post-MTD noise mixing")
     ap.add_argument("--rbg", action="store_true",
                     help="rbg PRNG family for the noise draws")
+    ap.add_argument("--prdm", action="store_true",
+                    help="fused Pallas noise-RDM kernel (TPU)")
     ap.add_argument("--out", default="snr_sweep.png")
     ap.add_argument("--json", default=None,
                     help="also write the sweep arrays to this JSON path")
@@ -61,6 +63,9 @@ def main() -> None:
         cfg = cfg.replace(fused_synth_dbf=True, lowrank_rdm=True)
     if args.rbg:
         cfg = cfg.replace(noise_prng="rbg")
+    if args.prdm:
+        cfg = cfg.replace(fused_synth_dbf=True, lowrank_rdm=True,
+                          noise_rdm_impl="pallas")
 
     t0 = time.time()
     res = snr_sweep(cfg, snr_db_vector=snr_vec, num_trials=args.trials,
