@@ -180,30 +180,37 @@ def _make_kernel(p_pad: int, v_pad: int, window: int, num_b: int,
     return kernel
 
 
-def noise_rdm_pallas(z: jnp.ndarray, plan: RdmPlan, l_factor,
-                     interpret: bool = False,
-                     mul_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """White compact noise z [beams, pulses, s_compact] complex ->
-    beam-mixed noise RDM [n_dop, gates, beams] complex64 (the downstream
-    [V, G, B] layout; the kernel computes beams-major and one transposed
-    copy restores it)."""
-    num_b, num_p, s_c = z.shape
-    assert s_c == plan.s_compact, (s_c, plan.s_compact)
-    zr = jnp.real(z).astype(mul_dtype)
-    zi = jnp.imag(z).astype(mul_dtype)
+def segment_buffer_len(seg: RdmSegSpec) -> int:
+    """Length of the padded per-segment sample buffer the kernel DMAs from
+    (pad_front + r_len + pad_tail)."""
+    return seg.pad_front + seg.r_len + seg.pad_tail
+
+
+def noise_rdm_pallas_planes(xrs, xis, plan: RdmPlan, l_factor,
+                            interpret: bool = False,
+                            mul_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Run the fused PC+MTD+mix kernel on pre-padded per-segment plane
+    pairs.
+
+    ``xrs[i]``/``xis[i]``: real/imag planes [beams, p_pad,
+    segment_buffer_len(seg_i)] in ``mul_dtype``. The first ``pad_front``
+    samples of each buffer MUST be zero (pre-PRT causal history); the
+    ``pad_tail`` samples and the pulse rows >= num_pulses may hold anything
+    (they only reach gates/Doppler rows that are sliced away — the PC
+    matrices' zero rows and the MTD matrix's zero columns, see the
+    correctness test in tests/test_pallas_rdm.py).
+
+    Returns the beam-mixed noise RDM [n_dop, gates, beams] complex64 (the
+    downstream [V, G, B] layout; the kernel computes beams-major and one
+    transposed copy restores it)."""
+    num_b = xrs[0].shape[0]
     l_np = np.asarray(l_factor)
     lr = jnp.asarray(l_np.real, jnp.float32)
     li = jnp.asarray(l_np.imag, jnp.float32)
     pieces = []
-    for seg in plan.segments:
+    for seg, xr, xi in zip(plan.segments, xrs, xis):
         ntiles = -(-seg.j_len // seg.tile)
         jpad = ntiles * seg.tile
-        xr = jnp.pad(zr[:, :, seg.c0:seg.c0 + seg.r_len],
-                     ((0, 0), (0, plan.p_pad - num_p),
-                      (seg.pad_front, seg.pad_tail)))
-        xi = jnp.pad(zi[:, :, seg.c0:seg.c0 + seg.r_len],
-                     ((0, 0), (0, plan.p_pad - num_p),
-                      (seg.pad_front, seg.pad_tail)))
         kernel = _make_kernel(plan.p_pad, plan.v_pad, seg.window, num_b,
                               mul_dtype)
         const_spec = lambda shp: pl.BlockSpec(shp, lambda t, b: (0, 0),
@@ -251,3 +258,28 @@ def noise_rdm_pallas(z: jnp.ndarray, plan: RdmPlan, l_factor,
                                       yi[:, :plan.n_dop, :seg.j_len]))
     bm = jnp.concatenate(pieces, axis=2)          # [B, V, G]
     return jnp.transpose(bm, (1, 2, 0)).astype(jnp.complex64)
+
+
+def noise_rdm_pallas(z: jnp.ndarray, plan: RdmPlan, l_factor,
+                     interpret: bool = False,
+                     mul_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """White compact noise z [beams, pulses, s_compact] complex ->
+    beam-mixed noise RDM [n_dop, gates, beams] complex64.
+
+    Slices the compact cube into the per-segment padded plane pairs and
+    delegates to :func:`noise_rdm_pallas_planes`. The pipeline's perf path
+    generates the plane pairs directly instead (pipeline/lowrank.py) —
+    skipping the complex cube, the slice/pad copies and the bf16 casts;
+    this entry point is kept for bit-level A/B against the XLA chain."""
+    num_b, num_p, s_c = z.shape
+    assert s_c == plan.s_compact, (s_c, plan.s_compact)
+    zr = jnp.real(z).astype(mul_dtype)
+    zi = jnp.imag(z).astype(mul_dtype)
+    xrs, xis = [], []
+    for seg in plan.segments:
+        pad = ((0, 0), (0, plan.p_pad - num_p),
+               (seg.pad_front, seg.pad_tail))
+        xrs.append(jnp.pad(zr[:, :, seg.c0:seg.c0 + seg.r_len], pad))
+        xis.append(jnp.pad(zi[:, :, seg.c0:seg.c0 + seg.r_len], pad))
+    return noise_rdm_pallas_planes(xrs, xis, plan, l_factor,
+                                   interpret=interpret, mul_dtype=mul_dtype)

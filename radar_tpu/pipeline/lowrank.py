@@ -82,19 +82,38 @@ def make_lowrank_stages(cfg: RadarConfig, precomp, plan, mplan,
     noise_rdm = None
     if (cfg.noise_rdm_impl == "pallas" and mplan is not None
             and mtd_mat is not None):
-        from ..ops.pallas_rdm import make_rdm_plan, noise_rdm_pallas
+        import jax
+
+        from ..ops.pallas_rdm import (make_rdm_plan, noise_rdm_pallas_planes,
+                                      segment_buffer_len)
+        from ..sim.echo import _as_impl_key
 
         rplan = make_rdm_plan(precomp, mtd_mat, cfg.sig.prt_num, tile=128)
+        root2inv = np.sqrt(0.5).astype(np.float32)
 
         def noise_rdm(key, interpret=False):
-            # beams-major white cube for the fused kernel (free relabeling
-            # of iid noise draws)
-            z = white_complex_noise(
-                key, (num_b, cfg.sig.prt_num, rplan.s_compact), dtype,
-                impl=cfg.noise_prng)
-            return noise_rdm_pallas(
-                z, rplan, l_np, interpret=interpret,
-                mul_dtype=jnp.float32 if interpret else jnp.bfloat16)
+            # generate the kernel's padded bf16 segment planes DIRECTLY
+            # (free relabeling of iid draws): no complex cube, no slice/pad
+            # copies, no separate bf16 casts — measured 2.8 -> ~1 ms
+            # (results/zgen_layouts.json). Tail pads and pulse-pad rows keep
+            # their garbage draws: they only reach gates/Doppler rows that
+            # are sliced away (bit-level test in tests/test_pallas_rdm.py);
+            # only the pad_front causal history must be zeroed.
+            mul = jnp.float32 if interpret else jnp.bfloat16
+            keys = jax.random.split(key, len(rplan.segments))
+            xrs, xis = [], []
+            for seg, k in zip(rplan.segments, keys):
+                n = segment_buffer_len(seg)
+                g = jax.random.normal(_as_impl_key(k, cfg.noise_prng),
+                                      (2, num_b, rplan.p_pad, n),
+                                      jnp.float32) * root2inv
+                if seg.pad_front:
+                    g = g * (jnp.arange(n) >= seg.pad_front)
+                xrs.append(g[0].astype(mul))
+                xis.append(g[1].astype(mul))
+            return noise_rdm_pallas_planes(xrs, xis, rplan, l_np,
+                                           interpret=interpret,
+                                           mul_dtype=mul)
 
     return LowrankStages(signal_rdm=signal_rdm, gen_noise=gen_noise, pc=pc,
                          mtd=_mtd, mix_add=mix_add, noise_rdm=noise_rdm)

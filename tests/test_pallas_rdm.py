@@ -1,0 +1,129 @@
+"""Fused noise-RDM Pallas kernel (ops/pallas_rdm.py): bit-level equivalence
+with the XLA chain and the pad-garbage invariance that the direct-generation
+perf path (pipeline/lowrank.py) relies on.
+
+All runs use interpret mode (conftest forces CPU) with f32 multiplies so the
+comparisons are exact."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radar_tpu.config.params import small_test_config
+from radar_tpu.ops.dbf import dbf_weights_effective_np
+from radar_tpu.ops.mtd import make_mtd_matrix, mtd_matmul
+from radar_tpu.ops.pallas_rdm import (make_rdm_plan, noise_rdm_pallas,
+                                      noise_rdm_pallas_planes,
+                                      segment_buffer_len)
+from radar_tpu.ops.pulse_compression import make_matmul_plan, \
+    pulse_compress_matmul
+from radar_tpu.sim.echo import beam_noise_factor
+from radar_tpu.waveform.precompute import precompute
+
+
+def _setup():
+    cfg = small_test_config()
+    pre = precompute(cfg)
+    mtd_mat = make_mtd_matrix(pre.mtd_win, cfg.sig.prt_num, cfg.mtd_fft_len)
+    plan = make_rdm_plan(pre, mtd_mat, cfg.sig.prt_num, tile=128)
+    w_eff = dbf_weights_effective_np(np.asarray(pre.dbf_w), cfg.dbf_variant)
+    l_np = beam_noise_factor(w_eff)
+    return cfg, pre, mtd_mat, plan, l_np
+
+
+def test_kernel_matches_numpy_oracle():
+    """Compact-z entry point vs a plain numpy evaluation of the plan's own
+    per-segment banded-PC matrices + MTD DFT planes + Cholesky mix (no
+    Pallas plumbing): catches DMA-window indexing, accumulation and
+    transpose bugs in the kernel."""
+    cfg, pre, mtd_mat, plan, l_np = _setup()
+    num_b = l_np.shape[0]
+    num_p = cfg.sig.prt_num
+    rng = np.random.default_rng(7)
+    z = (rng.normal(size=(num_b, num_p, plan.s_compact))
+         + 1j * rng.normal(size=(num_b, num_p, plan.s_compact))
+         ).astype(np.complex64) * np.float32(np.sqrt(0.5))
+
+    got = np.asarray(noise_rdm_pallas(jnp.asarray(z), plan, l_np,
+                                      interpret=True,
+                                      mul_dtype=jnp.float32))
+
+    d = (plan.dr + 1j * plan.di).astype(np.complex64)   # [V_pad, P_pad]
+    pieces = []
+    for seg in plan.segments:
+        m = (seg.mpr + 1j * seg.mpi).astype(np.complex64)  # [W, T]
+        x = np.zeros((num_b, plan.p_pad, segment_buffer_len(seg)),
+                     np.complex64)
+        x[:, :num_p, seg.pad_front:seg.pad_front + seg.r_len] = \
+            z[:, :, seg.c0:seg.c0 + seg.r_len]
+        ntiles = -(-seg.j_len // seg.tile)
+        out = np.zeros((num_b, plan.v_pad, ntiles * seg.tile), np.complex64)
+        for t in range(ntiles):
+            xw = x[:, :, t * seg.tile:t * seg.tile + seg.window]
+            out[:, :, t * seg.tile:(t + 1) * seg.tile] = np.einsum(
+                "vp,bpt->bvt", d, xw @ m)
+        pieces.append(out[:, :plan.n_dop, :seg.j_len])
+    bm = np.concatenate(pieces, axis=2)                  # [B, V, G]
+    want = np.einsum("cb,bvg->vgc", l_np.astype(np.complex64), bm)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_pad_garbage_is_invisible():
+    """The direct-generation path leaves garbage draws in the tail pads and
+    the pulse-pad rows. Those regions only reach gates / Doppler rows that
+    are sliced away: filling them with large garbage must not change a
+    single output bit."""
+    cfg, pre, mtd_mat, plan, l_np = _setup()
+    num_b = l_np.shape[0]
+    num_p = cfg.sig.prt_num
+    rng = np.random.default_rng(3)
+
+    def planes(garbage: bool):
+        xrs, xis = [], []
+        for i, seg in enumerate(plan.segments):
+            n = segment_buffer_len(seg)
+            r = np.random.default_rng(100 + i)
+            xr = r.normal(size=(num_b, plan.p_pad, n)).astype(np.float32)
+            xi = r.normal(size=(num_b, plan.p_pad, n)).astype(np.float32)
+            for x in (xr, xi):
+                x[:, :, :seg.pad_front] = 0.0       # causal history: zero
+                if garbage:
+                    g = np.random.default_rng(500 + i)
+                    if seg.pad_tail:
+                        x[:, :, seg.pad_front + seg.r_len:] = 1e3 * g.normal(
+                            size=(num_b, plan.p_pad, seg.pad_tail))
+                    x[:, num_p:, :] = 1e3 * g.normal(
+                        size=(num_b, plan.p_pad - num_p, n))
+                else:
+                    x[:, :, seg.pad_front + seg.r_len:] = 0.0
+                    x[:, num_p:, :] = 0.0
+            xrs.append(jnp.asarray(xr))
+            xis.append(jnp.asarray(xi))
+        return xrs, xis
+
+    clean = np.asarray(noise_rdm_pallas_planes(
+        *planes(False), plan, l_np, interpret=True, mul_dtype=jnp.float32))
+    dirty = np.asarray(noise_rdm_pallas_planes(
+        *planes(True), plan, l_np, interpret=True, mul_dtype=jnp.float32))
+    np.testing.assert_array_equal(clean, dirty)
+
+
+def test_direct_generation_pipeline_detects_truth():
+    """End-to-end perf path with direct plane generation (the shipped
+    pallas-config behavior)."""
+    from radar_tpu.pipeline.frame import make_frame_processor
+    from radar_tpu.sim.scenario import TargetBatch
+
+    cfg = small_test_config().replace(fused_synth_dbf=True, lowrank_rdm=True,
+                                      noise_rdm_impl="pallas")
+    process = make_frame_processor(cfg, dtype=jnp.complex64)
+    tb = TargetBatch.make([3000.0], [15.0], [10.0], [20.0])
+    res = process(jax.random.PRNGKey(0), tb)
+    n = int(res.num_final)
+    assert n >= 1
+    pre = precompute(cfg)
+    r = np.asarray(res.targets.range_m)[:n]
+    assert np.min(np.abs(r - 3000.0)) < 2 * pre.delta_r
