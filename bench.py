@@ -31,7 +31,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from radar_tpu.bench.baseline_np import frame_baseline_np
-    from radar_tpu.config.params import full_config
+    from radar_tpu.config.params import perf_config
     from radar_tpu.pipeline.frame import make_frame_processor
     from radar_tpu.sim.scenario import TargetBatch
     from radar_tpu.waveform.precompute import precompute
@@ -45,11 +45,11 @@ def main() -> None:
     # ... and the rank-K closed-form signal RDM with post-MTD noise mixing
     # (exact linear identity with the fused path, same random draws —
     # tests/test_fused.py::test_lowrank_rdm_matches_fused_exactly)
-    # ... the rbg PRNG family (results/noise_prng.json), and the fused
-    # Pallas noise-RDM kernel (PC+MTD+beam-mix one pass, ops/pallas_rdm.py)
-    cfg = full_config().replace(fused_synth_dbf=True, lowrank_rdm=True,
-                                matmul_precision="bf16", noise_prng="rbg",
-                                noise_rdm_impl="pallas")
+    # ... the rbg PRNG family (results/noise_prng.json), the fused Pallas
+    # noise-RDM kernel (PC+MTD+beam-mix one pass, ops/pallas_rdm.py), and
+    # uniform white rails (CLT-exact RDM statistics, no erfinv;
+    # results/snr_sweep_uniform*.json) — config/params.py::PERF_OVERRIDES
+    cfg = perf_config()
     precomp = precompute(cfg)
     process = make_frame_processor(cfg, precomp, dtype=jnp.complex64,
                                    jit=False)

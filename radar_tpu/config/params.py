@@ -226,6 +226,17 @@ class RadarConfig:
     # faster on TPU; deterministic per compiled program but not guaranteed
     # stable across compiler versions)
     noise_prng: str = "threefry"
+    # Distribution of the white noise driving the Pallas noise-RDM path:
+    # "normal" (exact CN(0,1), erfinv transform) or "uniform" (zero-mean
+    # unit-variance uniform rails straight from PRNG bits, no erfinv —
+    # measured 0.36 ms/frame cheaper on v5e). Every draw is contracted
+    # through >= 10k weighted terms (PC window x 332 MTD pulses) before the
+    # first nonlinearity, so by CLT the noise RDM is Gaussian with the SAME
+    # first/second moments either way (excess kurtosis ~ -1.2/N_eff <
+    # 1e-3); validated end-to-end by the SNR-sweep statistics
+    # (results/snr_sweep_uniform.json). Only consulted by
+    # noise_rdm_impl="pallas".
+    noise_dist: str = "normal"
     # Fuse echo synthesis + DBF into beam space: the signal is contracted
     # with the DBF weights per target before the big outer product (exact
     # algebra) and AWGN is drawn directly in beam space from the Cholesky
@@ -287,6 +298,29 @@ def full_config() -> RadarConfig:
     """The reference's full problem size: 332 pulses x 5819 samples x 16
     channels -> 332 x 3404 x 13 RDMs (v8_3:71-84)."""
     return RadarConfig()
+
+
+# The flagship perf configuration (bench.py / __graft_entry__ / --perf
+# CLIs): fused beam-space synthesis, rank-K closed-form signal RDM with
+# post-MTD noise mixing, bf16 MXU matmuls, rbg PRNG, fused Pallas noise-RDM
+# kernel driven by uniform white rails. Every entry is statistically
+# validated in results/ (see ARCHITECTURE.md "perf-path algebra").
+PERF_OVERRIDES = dict(fused_synth_dbf=True, lowrank_rdm=True,
+                      matmul_precision="bf16", noise_prng="rbg",
+                      noise_rdm_impl="pallas", noise_dist="uniform")
+
+
+def perf_config(base: RadarConfig | None = None,
+                pallas: bool = True) -> RadarConfig:
+    """full_config() (or ``base``) with the perf-path overrides applied.
+
+    ``pallas=False`` keeps the XLA lowrank chain instead of the fused
+    Pallas kernel — the right choice on CPU, where the kernel only runs in
+    (slow) interpret mode."""
+    kw = dict(PERF_OVERRIDES)
+    if not pallas:
+        del kw["noise_rdm_impl"], kw["noise_dist"]
+    return (base if base is not None else full_config()).replace(**kw)
 
 
 def scaled_config(channels: int = 64, pulses: int = 256) -> RadarConfig:

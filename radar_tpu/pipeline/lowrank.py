@@ -33,6 +33,10 @@ class LowrankStages(NamedTuple):
     # fused one-pass alternative (cfg.noise_rdm_impl="pallas"): (key,
     # interpret) -> beam-mixed noise RDM [V, G, B]; None when unavailable
     noise_rdm: Callable | None = None
+    # the pallas path's plane generator: (key, interpret) -> (xrs, xis)
+    # per-segment padded plane pairs (exposed for profiling; noise_rdm ==
+    # kernel(noise_planes(key)))
+    noise_planes: Callable | None = None
 
 
 def make_lowrank_stages(cfg: RadarConfig, precomp, plan, mplan,
@@ -90,12 +94,26 @@ def make_lowrank_stages(cfg: RadarConfig, precomp, plan, mplan,
 
         rplan = make_rdm_plan(precomp, mtd_mat, cfg.sig.prt_num, tile=128)
         root2inv = np.sqrt(0.5).astype(np.float32)
+        # unit rail variance for uniform rails: var(U[-a,a]) = a^2/3 = 1/2
+        a_unif = np.sqrt(1.5).astype(np.float32)
 
-        def noise_rdm(key, interpret=False):
+        def draw(k, shape):
+            k = _as_impl_key(k, cfg.noise_prng)
+            if cfg.noise_dist == "uniform":
+                # zero-mean unit-variance uniform rails straight from PRNG
+                # bits (no erfinv): the noise RDM is a >=10k-term weighted
+                # sum of these, Gaussian by CLT to ~1e-3 (see
+                # config/params.py noise_dist and the moment test in
+                # tests/test_pallas_rdm.py)
+                return jax.random.uniform(k, shape, jnp.float32,
+                                          -a_unif, a_unif)
+            return jax.random.normal(k, shape, jnp.float32) * root2inv
+
+        def noise_planes(key, interpret=False):
             # generate the kernel's padded bf16 segment planes DIRECTLY
             # (free relabeling of iid draws): no complex cube, no slice/pad
-            # copies, no separate bf16 casts — measured 2.8 -> ~1 ms
-            # (results/zgen_layouts.json). Tail pads and pulse-pad rows keep
+            # copies, no separate bf16 casts — measured 2.8 -> 0.6 ms
+            # (results/zgen2.json). Tail pads and pulse-pad rows keep
             # their garbage draws: they only reach gates/Doppler rows that
             # are sliced away (bit-level test in tests/test_pallas_rdm.py);
             # only the pad_front causal history must be zeroed.
@@ -104,16 +122,21 @@ def make_lowrank_stages(cfg: RadarConfig, precomp, plan, mplan,
             xrs, xis = [], []
             for seg, k in zip(rplan.segments, keys):
                 n = segment_buffer_len(seg)
-                g = jax.random.normal(_as_impl_key(k, cfg.noise_prng),
-                                      (2, num_b, rplan.p_pad, n),
-                                      jnp.float32) * root2inv
+                g = draw(k, (2, num_b, rplan.p_pad, n))
                 if seg.pad_front:
                     g = g * (jnp.arange(n) >= seg.pad_front)
                 xrs.append(g[0].astype(mul))
                 xis.append(g[1].astype(mul))
-            return noise_rdm_pallas_planes(xrs, xis, rplan, l_np,
-                                           interpret=interpret,
-                                           mul_dtype=mul)
+            return xrs, xis
+
+        def noise_rdm(key, interpret=False):
+            xrs, xis = noise_planes(key, interpret)
+            return noise_rdm_pallas_planes(
+                xrs, xis, rplan, l_np, interpret=interpret,
+                mul_dtype=jnp.float32 if interpret else jnp.bfloat16)
+    else:
+        noise_planes = None
 
     return LowrankStages(signal_rdm=signal_rdm, gen_noise=gen_noise, pc=pc,
-                         mtd=_mtd, mix_add=mix_add, noise_rdm=noise_rdm)
+                         mtd=_mtd, mix_add=mix_add, noise_rdm=noise_rdm,
+                         noise_planes=noise_planes)

@@ -141,6 +141,11 @@ def make_trial_fn(cfg: RadarConfig, precomp: Precomputed,
                                          dtype=dtype)
         else:
             echo = synthesize_echoes(targets, precomp, cfg, dtype=dtype)
+        if lowrank and lr.noise_rdm is not None:
+            # pallas_call HBM inputs take no vmap batch dim; one full-size
+            # trial already saturates the chip, so a sequential lax.map of
+            # the same program is throughput-equivalent
+            return jax.lax.map(lambda k: one_trial(echo, k), keys)
         return jax.vmap(one_trial, in_axes=(None, 0))(echo, keys)
 
     return jax.jit(trials)

@@ -41,23 +41,23 @@ def loop_time(step_fn, n1=5, n2=35):
 
 def main() -> None:
     from radar_tpu.cluster.stages import cluster_stage1, cluster_stage2
-    from radar_tpu.config.params import full_config
     from radar_tpu.measure.estimate import estimate_parameters
     from radar_tpu.ops.cfar import (extract_detections, goca_cfar_2d,
                                     pair_sum_maps)
     from radar_tpu.ops.dbf import dbf_weights_effective_np
     from radar_tpu.ops.mtd import make_mtd_matrix
-    from radar_tpu.ops.pallas_rdm import make_rdm_plan, noise_rdm_pallas
+    from radar_tpu.ops.pallas_rdm import (make_rdm_plan,
+                                          noise_rdm_pallas_planes)
     from radar_tpu.ops.pulse_compression import make_matmul_plan
     from radar_tpu.pipeline.frame import measure_consts
     from radar_tpu.pipeline.lowrank import make_lowrank_stages
-    from radar_tpu.sim.echo import beam_noise_factor, white_complex_noise
+    from radar_tpu.sim.echo import beam_noise_factor
     from radar_tpu.sim.scenario import TargetBatch
     from radar_tpu.waveform.precompute import precompute
 
-    cfg = full_config().replace(fused_synth_dbf=True, lowrank_rdm=True,
-                                matmul_precision="bf16", noise_prng="rbg",
-                                noise_rdm_impl="pallas")
+    from radar_tpu.config.params import perf_config
+
+    cfg = perf_config()
     pre = precompute(cfg)
     mplan = make_matmul_plan(pre)
     mtd_mat = make_mtd_matrix(pre.mtd_win, cfg.sig.prt_num, cfg.mtd_fft_len)
@@ -81,11 +81,13 @@ def main() -> None:
             rdm_sig = lr.signal_rdm(tb_i)
             if stage == "rdm_sig":
                 return jnp.sum(jnp.abs(rdm_sig))
-            z = white_complex_noise(kn, (B, P, rplan.s_compact),
-                                    jnp.complex64, impl="rbg")
+            xrs, xis = lr.noise_planes(kn)
             if stage == "zgen":
-                return jnp.sum(jnp.abs(rdm_sig)) + jnp.sum(jnp.abs(z))
-            rdm_z = noise_rdm_pallas(z, rplan, l_np)
+                acc = jnp.sum(jnp.abs(rdm_sig))
+                for x in xrs + xis:
+                    acc += jnp.sum(jnp.abs(x.astype(jnp.float32)))
+                return acc
+            rdm_z = noise_rdm_pallas_planes(xrs, xis, rplan, l_np)
             if stage == "kernel":
                 return jnp.sum(jnp.abs(rdm_sig)) + jnp.sum(jnp.abs(rdm_z))
             rdm = rdm_sig + rdm_z

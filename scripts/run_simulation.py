@@ -58,8 +58,11 @@ def main() -> None:
 
     cfg = small_test_config() if args.small else full_config()
     if args.perf:
-        cfg = cfg.replace(fused_synth_dbf=True, lowrank_rdm=True,
-                          matmul_precision="bf16", noise_prng="rbg")
+        # Pallas noise-RDM kernel only on an accelerator (interpret mode on
+        # CPU is for tests, not speed)
+        from radar_tpu.config.params import perf_config
+
+        cfg = perf_config(cfg, pallas=not args.cpu)
     pre = precompute(cfg)
     scene = default_two_target_scene()
 

@@ -35,6 +35,9 @@ def main() -> None:
                     help="rbg PRNG family for the noise draws")
     ap.add_argument("--prdm", action="store_true",
                     help="fused Pallas noise-RDM kernel (TPU)")
+    ap.add_argument("--uniform", action="store_true",
+                    help="uniform white-noise rails for the Pallas "
+                         "noise-RDM path (cfg.noise_dist='uniform')")
     ap.add_argument("--out", default="snr_sweep.png")
     ap.add_argument("--json", default=None,
                     help="also write the sweep arrays to this JSON path")
@@ -66,6 +69,8 @@ def main() -> None:
     if args.prdm:
         cfg = cfg.replace(fused_synth_dbf=True, lowrank_rdm=True,
                           noise_rdm_impl="pallas")
+    if args.uniform:
+        cfg = cfg.replace(noise_dist="uniform")
 
     t0 = time.time()
     res = snr_sweep(cfg, snr_db_vector=snr_vec, num_trials=args.trials,

@@ -42,8 +42,11 @@ def main() -> None:
 
     cfg = small_test_config() if args.small else full_config()
     if args.perf:
-        cfg = cfg.replace(fused_synth_dbf=True, lowrank_rdm=True,
-                          matmul_precision="bf16", noise_prng="rbg")
+        # Pallas noise-RDM kernel only on an accelerator (interpret mode on
+        # CPU is for tests, not speed)
+        from radar_tpu.config.params import perf_config
+
+        cfg = perf_config(cfg, pallas=not args.cpu)
     lo, hi = (float(x) for x in args.snr.split(":"))
     t0 = time.time()
     stats = run_streaming_mc(cfg, num_scenes=args.scenes,

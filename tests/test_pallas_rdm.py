@@ -111,6 +111,48 @@ def test_pad_garbage_is_invisible():
     np.testing.assert_array_equal(clean, dirty)
 
 
+def test_uniform_noise_dist_moments_and_gaussianity():
+    """noise_dist='uniform' feeds unit-variance uniform rails into the
+    fused kernel. The RDM second moments depend only on the input
+    covariance (identical for both dists), and the >=10k-term linear
+    contraction makes each RDM cell Gaussian by CLT: pooled total power
+    must match the normal path within MC error, and the pooled kurtosis of
+    the RDM real parts must match the normal path's (the pooled value
+    itself exceeds 3 for BOTH dists because cells have heterogeneous
+    variances — beam mix rows, per-segment filter energy — and a Gaussian
+    variance mixture is leptokurtic; what CLT promises is that uniform
+    input reproduces the normal path's value)."""
+    from radar_tpu.ops.mtd import make_mtd_matrix as _mk
+    from radar_tpu.pipeline.lowrank import make_lowrank_stages
+    from radar_tpu.ops.pulse_compression import make_matmul_plan
+
+    cfg0 = small_test_config().replace(fused_synth_dbf=True,
+                                       lowrank_rdm=True,
+                                       noise_rdm_impl="pallas")
+    pre = precompute(cfg0)
+    mplan = make_matmul_plan(pre)
+    mtd_mat = make_mtd_matrix(pre.mtd_win, cfg0.sig.prt_num,
+                              cfg0.mtd_fft_len)
+
+    def power_and_kurt(dist, n_keys=6):
+        cfg = cfg0.replace(noise_dist=dist)
+        st = make_lowrank_stages(cfg, pre, None, mplan, mtd_mat,
+                                 pre.mtd_win, jnp.complex64)
+        pw, k4 = [], []
+        for i in range(n_keys):
+            rdm = np.asarray(st.noise_rdm(jax.random.PRNGKey(i),
+                                          interpret=True))
+            pw.append(np.mean(np.abs(rdm) ** 2))
+            x = rdm.real.ravel()
+            k4.append(np.mean(x ** 4) / np.mean(x ** 2) ** 2)
+        return np.mean(pw), np.mean(k4)
+
+    p_n, k_n = power_and_kurt("normal")
+    p_u, k_u = power_and_kurt("uniform")
+    assert abs(p_u / p_n - 1.0) < 0.05
+    assert abs(k_u - k_n) < 0.1
+
+
 def test_direct_generation_pipeline_detects_truth():
     """End-to-end perf path with direct plane generation (the shipped
     pallas-config behavior)."""
