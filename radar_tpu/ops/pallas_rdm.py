@@ -99,7 +99,7 @@ def make_rdm_plan(precomp, mtd_matrix, num_pulses: int,
 
 
 def _make_kernel(p_pad: int, v_pad: int, window: int, num_b: int,
-                 mul_dtype):
+                 mul_dtype, out_dtype=jnp.float32):
     def kernel(xr_hbm, xi_hbm, mpr_ref, mpi_ref, dr_ref, di_ref,
                lr_ref, li_ref, yr_ref, yi_ref, mtr_s, mti_s, sems,
                xr_s, xi_s):
@@ -174,8 +174,250 @@ def _make_kernel(p_pad: int, v_pad: int, window: int, num_b: int,
             ri = jax.lax.dot_general(lr, mti, dn, preferred_element_type=f32)
             ir = jax.lax.dot_general(li, mtr, dn, preferred_element_type=f32)
             ii = jax.lax.dot_general(li, mti, dn, preferred_element_type=f32)
-            yr_ref[...] = rr - ii
-            yi_ref[...] = ri + ir
+            yr_ref[...] = (rr - ii).astype(out_dtype)
+            yi_ref[...] = (ri + ir).astype(out_dtype)
+
+    return kernel
+
+
+def _make_kernel_resident(p_pad: int, v_pad: int, window: int, num_b: int,
+                          buf_len: int, mul_dtype, out_dtype=jnp.float32):
+    """Same grid/compute as _make_kernel, but each beam's WHOLE padded
+    segment buffer is DMA'd to VMEM once (all 2*B copies start at step 0,
+    each beam waits at its first tile) and the per-tile overlapping windows
+    are VMEM slices. Kills the window/tile read amplification — the
+    dominant cost in the ablation (results/rdm_ablation.json: DMA-only
+    variant 0.63 ms of the 1.24 ms kernel): HBM reads drop from
+    ~window/tile x planes (~360 MB) to exactly the planes (~90 MB)."""
+    def kernel(xr_hbm, xi_hbm, mpr_ref, mpi_ref, dr_ref, di_ref,
+               lr_ref, li_ref, yr_ref, yi_ref, mtr_s, mti_s, sems,
+               xr_all, xi_all):
+        t = pl.program_id(0)
+        b = pl.program_id(1)
+        tile = yr_ref.shape[-1]
+        step = t * num_b + b
+
+        def dma(bb):
+            return (pltpu.make_async_copy(xr_hbm.at[bb], xr_all.at[bb],
+                                          sems.at[bb, 0]),
+                    pltpu.make_async_copy(xi_hbm.at[bb], xi_all.at[bb],
+                                          sems.at[bb, 1]))
+
+        @pl.when(step == 0)
+        def _():
+            for bb in range(num_b):      # static unroll: start all buffers
+                r, i = dma(bb)
+                r.start()
+                i.start()
+
+        @pl.when(t == 0)
+        def _():
+            r, i = dma(b)                # wait this beam's buffers once
+            r.wait()
+            i.wait()
+
+        xr = xr_all[b, :, pl.ds(t * tile, window)]
+        xi = xi_all[b, :, pl.ds(t * tile, window)]
+        mpr = mpr_ref[:]
+        mpi = mpi_ref[:]
+        f32 = jnp.float32
+        pcr = (jnp.dot(xr, mpr, preferred_element_type=f32)
+               - jnp.dot(xi, mpi, preferred_element_type=f32))
+        pci = (jnp.dot(xr, mpi, preferred_element_type=f32)
+               + jnp.dot(xi, mpr, preferred_element_type=f32))
+        pcr16 = pcr.astype(mul_dtype)
+        pci16 = pci.astype(mul_dtype)
+        dr = dr_ref[:]
+        di = di_ref[:]
+        mtr_s[b] = (jnp.dot(dr, pcr16, preferred_element_type=f32)
+                    - jnp.dot(di, pci16, preferred_element_type=f32)
+                    ).astype(mul_dtype)
+        mti_s[b] = (jnp.dot(dr, pci16, preferred_element_type=f32)
+                    + jnp.dot(di, pcr16, preferred_element_type=f32)
+                    ).astype(mul_dtype)
+
+        @pl.when(b == num_b - 1)
+        def _():
+            lr = lr_ref[:]
+            li = li_ref[:]
+            mtr = mtr_s[:]
+            mti = mti_s[:]
+            dn = (((1,), (0,)), ((), ()))
+            rr = jax.lax.dot_general(lr, mtr, dn, preferred_element_type=f32)
+            ri = jax.lax.dot_general(lr, mti, dn, preferred_element_type=f32)
+            ir = jax.lax.dot_general(li, mtr, dn, preferred_element_type=f32)
+            ii = jax.lax.dot_general(li, mti, dn, preferred_element_type=f32)
+            yr_ref[...] = (rr - ii).astype(out_dtype)
+            yi_ref[...] = (ri + ir).astype(out_dtype)
+
+    return kernel
+
+
+def _make_kernel_stacked(p_pad: int, v_pad: int, window: int, num_b: int,
+                         buf_len: int, mul_dtype):
+    """Resident per-beam buffers (see _make_kernel_resident) plus stacked
+    dots: the four real PC matmuls collapse into ONE
+    [2*p_pad, window] x [window, 2*tile] dot (re/im planes stacked on M,
+    mpr|mpi stacked on N), the four MTD matmuls into ONE
+    [2*v_pad, p_pad] x [p_pad, 2*tile] dot, and the beam mix into TWO
+    dot_generals. Same per-element inner products — the win is ~4x fewer
+    MXU issue slots, which the ablation showed dominate
+    (results/rdm_ablation.json: compute ~0.6 ms of a 1.5 ms kernel)."""
+    def kernel(xr_hbm, xi_hbm, mp_ref, d2_ref, lr_ref, li_ref,
+               yr_ref, yi_ref, mt_s, sems, x_all):
+        t = pl.program_id(0)
+        b = pl.program_id(1)
+        tile = yr_ref.shape[-1]
+        step = t * num_b + b
+
+        def dma(bb):
+            return (pltpu.make_async_copy(xr_hbm.at[bb], x_all.at[0, bb],
+                                          sems.at[bb, 0]),
+                    pltpu.make_async_copy(xi_hbm.at[bb], x_all.at[1, bb],
+                                          sems.at[bb, 1]))
+
+        @pl.when(step == 0)
+        def _():
+            for bb in range(num_b):
+                r, i = dma(bb)
+                r.start()
+                i.start()
+
+        @pl.when(t == 0)
+        def _():
+            r, i = dma(b)
+            r.wait()
+            i.wait()
+
+        f32 = jnp.float32
+        xw = x_all[:, b, :, pl.ds(t * tile, window)]      # [2, P, W]
+        x2 = xw.reshape(2 * p_pad, window)
+        r = jnp.dot(x2, mp_ref[:], preferred_element_type=f32)  # [2P, 2T]
+        pcr = (r[:p_pad, :tile] - r[p_pad:, tile:]).astype(mul_dtype)
+        pci = (r[:p_pad, tile:] + r[p_pad:, :tile]).astype(mul_dtype)
+        pc2 = jnp.concatenate([pcr, pci], axis=1)         # [P, 2T]
+        r2 = jnp.dot(d2_ref[:], pc2, preferred_element_type=f32)  # [2V, 2T]
+        mt_s[b] = jnp.concatenate(
+            [r2[:v_pad, :tile] - r2[v_pad:, tile:],
+             r2[:v_pad, tile:] + r2[v_pad:, :tile]],
+            axis=1).astype(mul_dtype)                     # [V, 2T] = mtr|mti
+
+        @pl.when(b == num_b - 1)
+        def _():
+            dn = (((1,), (0,)), ((), ()))
+            mt = mt_s[:]
+            a = jax.lax.dot_general(lr_ref[:], mt, dn,
+                                    preferred_element_type=f32)
+            c = jax.lax.dot_general(li_ref[:], mt, dn,
+                                    preferred_element_type=f32)
+            yr_ref[...] = a[:, :, :tile] - c[:, :, tile:]
+            yi_ref[...] = a[:, :, tile:] + c[:, :, :tile]
+
+    return kernel
+
+
+def _call_stacked(seg: RdmSegSpec, xr, xi, plan: RdmPlan, l_np, num_b,
+                  ntiles, jpad, mul_dtype, interpret):
+    mp = np.concatenate([seg.mpr, seg.mpi], axis=1)       # [W, 2T]
+    d2 = np.concatenate([plan.dr, plan.di], axis=0)       # [2V, P]
+    buf_len = xr.shape[-1]
+    kernel = _make_kernel_stacked(plan.p_pad, plan.v_pad, seg.window,
+                                  num_b, buf_len, mul_dtype)
+    const_spec = lambda shp: pl.BlockSpec(shp, lambda t, b: (0, 0),
+                                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(ntiles, num_b),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            const_spec((seg.window, 2 * seg.tile)),
+            const_spec((2 * plan.v_pad, plan.p_pad)),
+            const_spec((num_b, num_b)),
+            const_spec((num_b, num_b)),
+        ],
+        out_specs=[
+            pl.BlockSpec((num_b, plan.v_pad, seg.tile),
+                         lambda t, b: (0, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_b, plan.v_pad, seg.tile),
+                         lambda t, b: (0, 0, t), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_b, plan.v_pad, jpad), jnp.float32),
+            jax.ShapeDtypeStruct((num_b, plan.v_pad, jpad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((num_b, plan.v_pad, 2 * seg.tile), mul_dtype),
+            pltpu.SemaphoreType.DMA((num_b, 2)),
+            pltpu.VMEM((2, num_b, plan.p_pad, buf_len), mul_dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(xr, xi, jnp.asarray(mp, mul_dtype), jnp.asarray(d2, mul_dtype),
+      jnp.asarray(np.asarray(l_np).real, mul_dtype),
+      jnp.asarray(np.asarray(l_np).imag, mul_dtype))
+
+
+def _make_kernel_allbeams(p_pad: int, v_pad: int, window: int, num_b: int,
+                          mul_dtype):
+    """One grid step per gate tile, ALL beams at once: both planes of all
+    beams' windows arrive in one DMA and the four real PC matmuls for all
+    beams collapse into a single [2*B*p_pad, window] x [window, 2*tile] MXU
+    dot (re/im stacked on M and N). Identical arithmetic to _make_kernel —
+    every output element is the same inner product — with 13x fewer grid
+    steps, 26x fewer DMAs and ~7x fewer Mosaic dot ops."""
+    def kernel(xr_hbm, xi_hbm, mp_ref, d2_ref, l2_ref, yr_ref, yi_ref,
+               mt_s, sems, x_s):
+        t = pl.program_id(0)
+        n_t = pl.num_programs(0)
+        tile = yr_ref.shape[-1]
+        slot = jax.lax.rem(t, jnp.int32(2))
+        nslot = 1 - slot
+
+        def dma(s, tt):
+            return (pltpu.make_async_copy(
+                        xr_hbm.at[:, :, pl.ds(tt * tile, window)],
+                        x_s.at[s, 0], sems.at[s, 0]),
+                    pltpu.make_async_copy(
+                        xi_hbm.at[:, :, pl.ds(tt * tile, window)],
+                        x_s.at[s, 1], sems.at[s, 1]))
+
+        @pl.when(t == 0)
+        def _():
+            r0, i0 = dma(slot, t)
+            r0.start()
+            i0.start()
+
+        @pl.when(t + 1 < n_t)
+        def _():
+            rn, in_ = dma(nslot, t + 1)
+            rn.start()
+            in_.start()
+
+        cur_r, cur_i = dma(slot, t)
+        cur_r.wait()
+        cur_i.wait()
+        f32 = jnp.float32
+        half = num_b * p_pad
+        x2 = x_s[slot].reshape(2 * half, window)
+        r = jnp.dot(x2, mp_ref[:], preferred_element_type=f32)
+        pcr = (r[:half, :tile] - r[half:, tile:]).astype(mul_dtype)
+        pci = (r[:half, tile:] + r[half:, :tile]).astype(mul_dtype)
+        pc2 = jnp.concatenate([pcr, pci], axis=1)     # [B*P, 2T]
+        d2 = d2_ref[:]
+        for b in range(num_b):                        # static unroll
+            rb = jnp.dot(d2, pc2[b * p_pad:(b + 1) * p_pad],
+                         preferred_element_type=f32)  # [2V, 2T]
+            mt_s[b] = jnp.concatenate(
+                [rb[:v_pad, :tile] - rb[v_pad:, tile:],
+                 rb[:v_pad, tile:] + rb[v_pad:, :tile]],
+                axis=1).astype(mul_dtype)             # [V, 2T] = [mtr|mti]
+        dn = (((1,), (0,)), ((), ()))
+        m = jax.lax.dot_general(l2_ref[:], mt_s[:], dn,
+                                preferred_element_type=f32)  # [2B, V, 2T]
+        yr_ref[...] = m[:num_b, :, :tile] - m[num_b:, :, tile:]
+        yi_ref[...] = m[:num_b, :, tile:] + m[num_b:, :, :tile]
 
     return kernel
 
@@ -188,7 +430,9 @@ def segment_buffer_len(seg: RdmSegSpec) -> int:
 
 def noise_rdm_pallas_planes(xrs, xis, plan: RdmPlan, l_factor,
                             interpret: bool = False,
-                            mul_dtype=jnp.bfloat16) -> jnp.ndarray:
+                            mul_dtype=jnp.bfloat16,
+                            variant: str = "beams",
+                            out_dtype=jnp.float32) -> jnp.ndarray:
     """Run the fused PC+MTD+mix kernel on pre-padded per-segment plane
     pairs.
 
@@ -211,8 +455,28 @@ def noise_rdm_pallas_planes(xrs, xis, plan: RdmPlan, l_factor,
     for seg, xr, xi in zip(plan.segments, xrs, xis):
         ntiles = -(-seg.j_len // seg.tile)
         jpad = ntiles * seg.tile
-        kernel = _make_kernel(plan.p_pad, plan.v_pad, seg.window, num_b,
-                              mul_dtype)
+        if variant in ("allbeams", "stacked"):
+            call = (_call_allbeams if variant == "allbeams"
+                    else _call_stacked)
+            yr, yi = call(seg, xr, xi, plan, l_np, num_b, ntiles,
+                          jpad, mul_dtype, interpret)
+            pieces.append(jax.lax.complex(yr[:, :plan.n_dop, :seg.j_len],
+                                          yi[:, :plan.n_dop, :seg.j_len]))
+            continue
+        buf_len = xr.shape[-1]
+        if variant == "resident":
+            kernel = _make_kernel_resident(plan.p_pad, plan.v_pad,
+                                           seg.window, num_b, buf_len,
+                                           mul_dtype, out_dtype)
+            x_scratch = [pltpu.VMEM((num_b, plan.p_pad, buf_len), mul_dtype),
+                         pltpu.VMEM((num_b, plan.p_pad, buf_len), mul_dtype)]
+            dma_sems = pltpu.SemaphoreType.DMA((num_b, 2))
+        else:
+            kernel = _make_kernel(plan.p_pad, plan.v_pad, seg.window, num_b,
+                                  mul_dtype, out_dtype)
+            x_scratch = [pltpu.VMEM((2, plan.p_pad, seg.window), mul_dtype),
+                         pltpu.VMEM((2, plan.p_pad, seg.window), mul_dtype)]
+            dma_sems = pltpu.SemaphoreType.DMA((2, 2))
         const_spec = lambda shp: pl.BlockSpec(shp, lambda t, b: (0, 0),
                                               memory_space=pltpu.VMEM)
         yr, yi = pl.pallas_call(
@@ -237,16 +501,14 @@ def noise_rdm_pallas_planes(xrs, xis, plan: RdmPlan, l_factor,
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((num_b, plan.v_pad, jpad), jnp.float32),
-                jax.ShapeDtypeStruct((num_b, plan.v_pad, jpad), jnp.float32),
+                jax.ShapeDtypeStruct((num_b, plan.v_pad, jpad), out_dtype),
+                jax.ShapeDtypeStruct((num_b, plan.v_pad, jpad), out_dtype),
             ],
             scratch_shapes=[
                 pltpu.VMEM((num_b, plan.v_pad, seg.tile), mul_dtype),
                 pltpu.VMEM((num_b, plan.v_pad, seg.tile), mul_dtype),
-                pltpu.SemaphoreType.DMA((2, 2)),
-                pltpu.VMEM((2, plan.p_pad, seg.window), mul_dtype),
-                pltpu.VMEM((2, plan.p_pad, seg.window), mul_dtype),
-            ],
+                dma_sems,
+            ] + x_scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
@@ -254,15 +516,61 @@ def noise_rdm_pallas_planes(xrs, xis, plan: RdmPlan, l_factor,
           jnp.asarray(seg.mpi, mul_dtype),
           jnp.asarray(plan.dr, mul_dtype), jnp.asarray(plan.di, mul_dtype),
           lr.astype(mul_dtype), li.astype(mul_dtype))
-        pieces.append(jax.lax.complex(yr[:, :plan.n_dop, :seg.j_len],
-                                      yi[:, :plan.n_dop, :seg.j_len]))
+        pieces.append(jax.lax.complex(
+            yr[:, :plan.n_dop, :seg.j_len].astype(jnp.float32),
+            yi[:, :plan.n_dop, :seg.j_len].astype(jnp.float32)))
     bm = jnp.concatenate(pieces, axis=2)          # [B, V, G]
     return jnp.transpose(bm, (1, 2, 0)).astype(jnp.complex64)
 
 
+def _call_allbeams(seg: RdmSegSpec, xr, xi, plan: RdmPlan, l_np, num_b,
+                   ntiles, jpad, mul_dtype, interpret):
+    """pallas_call wrapper for the all-beams kernel: stacked constant
+    matrices MP=[mpr|mpi], D2=[dr;di], L2=[lr;li] and a single
+    [2, 2, B, p_pad, window] double-buffered window scratch."""
+    mp = np.concatenate([seg.mpr, seg.mpi], axis=1)       # [W, 2T]
+    d2 = np.concatenate([plan.dr, plan.di], axis=0)       # [2V, P]
+    l2 = np.concatenate([l_np.real, l_np.imag], axis=0)   # [2B, B]
+    kernel = _make_kernel_allbeams(plan.p_pad, plan.v_pad, seg.window,
+                                   num_b, mul_dtype)
+    const_spec = lambda shp: pl.BlockSpec(shp, lambda t: (0, 0),
+                                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            const_spec((seg.window, 2 * seg.tile)),
+            const_spec((2 * plan.v_pad, plan.p_pad)),
+            const_spec((2 * num_b, num_b)),
+        ],
+        out_specs=[
+            pl.BlockSpec((num_b, plan.v_pad, seg.tile), lambda t: (0, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_b, plan.v_pad, seg.tile), lambda t: (0, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_b, plan.v_pad, jpad), jnp.float32),
+            jax.ShapeDtypeStruct((num_b, plan.v_pad, jpad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((num_b, plan.v_pad, 2 * seg.tile), mul_dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, 2, num_b, plan.p_pad, seg.window), mul_dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(xr, xi, jnp.asarray(mp, mul_dtype), jnp.asarray(d2, mul_dtype),
+      jnp.asarray(l2, mul_dtype))
+
+
 def noise_rdm_pallas(z: jnp.ndarray, plan: RdmPlan, l_factor,
                      interpret: bool = False,
-                     mul_dtype=jnp.bfloat16) -> jnp.ndarray:
+                     mul_dtype=jnp.bfloat16,
+                     variant: str = "beams") -> jnp.ndarray:
     """White compact noise z [beams, pulses, s_compact] complex ->
     beam-mixed noise RDM [n_dop, gates, beams] complex64.
 
@@ -282,4 +590,5 @@ def noise_rdm_pallas(z: jnp.ndarray, plan: RdmPlan, l_factor,
         xrs.append(jnp.pad(zr[:, :, seg.c0:seg.c0 + seg.r_len], pad))
         xis.append(jnp.pad(zi[:, :, seg.c0:seg.c0 + seg.r_len], pad))
     return noise_rdm_pallas_planes(xrs, xis, plan, l_factor,
-                                   interpret=interpret, mul_dtype=mul_dtype)
+                                   interpret=interpret, mul_dtype=mul_dtype,
+                                   variant=variant)

@@ -131,9 +131,15 @@ def make_lowrank_stages(cfg: RadarConfig, precomp, plan, mplan,
 
         def noise_rdm(key, interpret=False):
             xrs, xis = noise_planes(key, interpret)
+            # bf16 output planes halve the kernel write + downstream read
+            # traffic (measured 1.77 -> 1.62 ms for gen+kernel); a 2^-8
+            # relative quantization of the NOISE, same class as the bf16
+            # multiply planes already validated in results/bf16_matmul.json
+            # and re-validated end-to-end by the uniform-rails sweeps
             return noise_rdm_pallas_planes(
                 xrs, xis, rplan, l_np, interpret=interpret,
-                mul_dtype=jnp.float32 if interpret else jnp.bfloat16)
+                mul_dtype=jnp.float32 if interpret else jnp.bfloat16,
+                out_dtype=jnp.float32 if interpret else jnp.bfloat16)
     else:
         noise_planes = None
 
