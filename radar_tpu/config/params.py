@@ -265,6 +265,14 @@ class RadarConfig:
     # mix, three stages) or "pallas" (ops/pallas_rdm.py fused one-pass
     # kernel with double-buffered window DMA; TPU only)
     noise_rdm_impl: str = "xla"
+    # Keep the detection tail in the Pallas kernel's beams-major layout
+    # (lowrank+pallas path only): RDM stays [B, V, G] (no transposed
+    # complex copy out of the kernel) and the pair-sum maps / CFAR mask are
+    # [pairs, G, V], whose native ravel IS the reference's
+    # (pair, range, velocity)-major detection order — the 13.6M-bool
+    # relayout in extract_detections disappears too. Identical detections
+    # (same arithmetic, same order) as the reference layout.
+    beams_major_tail: bool = False
     # Precision of the heavy constant matmuls (MTD DFT, banded-Toeplitz PC):
     # "f32" = complex64 throughout; "bf16" = bf16 multiply planes with f32
     # accumulation (~2x MXU rate, ~2^-9 input quantization; ops/precision.py)

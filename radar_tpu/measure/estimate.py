@@ -43,14 +43,23 @@ class ParamDetections(NamedTuple):
 
 
 def _stencil_gather(maps: jnp.ndarray, v_idx, r_idx, pair_idx, extra: int,
-                    axis: str) -> jnp.ndarray:
+                    axis: str, layout: str = "vgq") -> jnp.ndarray:
     """Gather the +/-extra cell stencil along range ('r') or Doppler ('v')
-    of the pair-sum cube [V, G, pairs] -> [cap, 2*extra+1].
+    of the pair-sum cube ([V, G, pairs] or, ``layout="qgv"``,
+    [pairs, G, V]) -> [cap, 2*extra+1].
 
     Stencil cells are clipped to the map edge (CFAR border exclusion
     guarantees in-range stencils whenever ref+guard >= extra, which holds for
     every shipped config; clipping only guards degenerate configs)."""
     offs = jnp.arange(-extra, extra + 1)
+    if layout == "qgv":
+        if axis == "r":
+            cells = jnp.clip(r_idx[:, None] + offs[None, :], 0,
+                             maps.shape[1] - 1)
+            return maps[pair_idx[:, None], cells, v_idx[:, None]]
+        cells = jnp.clip(v_idx[:, None] + offs[None, :], 0,
+                         maps.shape[2] - 1)
+        return maps[pair_idx[:, None], r_idx[:, None], cells]
     if axis == "r":
         cells = jnp.clip(r_idx[:, None] + offs[None, :], 0,
                          maps.shape[1] - 1)
@@ -71,9 +80,14 @@ def _spline_peak_offset(stencil: jnp.ndarray, q: jnp.ndarray,
 def estimate_parameters(dets: Detections, pair_maps: jnp.ndarray,
                         rdm: jnp.ndarray, precomp_dev,
                         extra_dots: int, r_times: int, v_times: int,
-                        monopulse_complex: bool = False) -> ParamDetections:
+                        monopulse_complex: bool = False,
+                        layout: str = "vgb") -> ParamDetections:
     """dets: CFAR output; pair_maps: [V,G,pairs] real sum maps; rdm:
-    [V,G,beams] complex; precomp_dev: DevicePrecomputed arrays."""
+    [V,G,beams] complex; precomp_dev: DevicePrecomputed arrays.
+
+    ``layout="bvg"`` (beams-major tail): pair_maps are [pairs,G,V] and rdm
+    is [beams,V,G]; identical arithmetic, permuted gathers."""
+    maps_layout = "qgv" if layout == "bvg" else "vgq"
     # consts may arrive as host numpy (embedded as XLA constants at trace
     # time); coerce so tracer-indexed gathers work
     rx = jnp.asarray(precomp_dev.range_axis)
@@ -83,22 +97,26 @@ def estimate_parameters(dets: Detections, pair_maps: jnp.ndarray,
     real_dtype = pair_maps.dtype
 
     st_r = _stencil_gather(pair_maps, dets.v_idx, dets.r_idx, dets.pair_idx,
-                           extra_dots, "r")
+                           extra_dots, "r", maps_layout)
     off_r = _spline_peak_offset(
         st_r, jnp.asarray(precomp_dev.q_range, real_dtype), r_times,
         extra_dots)
     est_range = rx[dets.r_idx] + off_r * precomp_dev.delta_r
 
     st_v = _stencil_gather(pair_maps, dets.v_idx, dets.r_idx, dets.pair_idx,
-                           extra_dots, "v")
+                           extra_dots, "v", maps_layout)
     off_v = _spline_peak_offset(
         st_v, jnp.asarray(precomp_dev.q_vel, real_dtype), v_times,
         extra_dots)
     est_vel = vx[dets.v_idx] + off_v * precomp_dev.delta_v
 
     # monopulse at integer indices (reference flaw preserved)
-    s_a = rdm[dets.v_idx, dets.r_idx, dets.pair_idx]
-    s_b = rdm[dets.v_idx, dets.r_idx, dets.pair_idx + 1]
+    if layout == "bvg":
+        s_a = rdm[dets.pair_idx, dets.v_idx, dets.r_idx]
+        s_b = rdm[dets.pair_idx + 1, dets.v_idx, dets.r_idx]
+    else:
+        s_a = rdm[dets.v_idx, dets.r_idx, dets.pair_idx]
+        s_b = rdm[dets.v_idx, dets.r_idx, dets.pair_idx + 1]
     if not monopulse_complex:
         s_a, s_b = jnp.abs(s_a), jnp.abs(s_b)
     eps = jnp.finfo(real_dtype).eps

@@ -83,30 +83,47 @@ def pair_sum_maps(rdm: jnp.ndarray) -> jnp.ndarray:
     return mag[:, :, :-1] + mag[:, :, 1:]
 
 
-def goca_cfar_2d(maps: jnp.ndarray, params: CfarParams
-                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Detection mask and threshold map for sum maps [V, G, pairs].
+def pair_sum_maps_bm(rdm_bm: jnp.ndarray) -> jnp.ndarray:
+    """Beams-major variant: [B, V, G] complex -> [B-1, G, V] real sum maps.
 
-    Returns (mask bool [V,G,pairs], threshold [V,G,pairs]); border cells are
-    always False in the mask (threshold map holds garbage there).
+    Same arithmetic as :func:`pair_sum_maps`; the output is laid out
+    (pair, range, velocity)-major so the CFAR mask's native ravel already
+    matches the reference's detection scan order (ref :215-221) — no bool
+    relayout in :func:`extract_detections`."""
+    mag = jnp.abs(rdm_bm)
+    return jnp.transpose(mag[:-1] + mag[1:], (0, 2, 1))
+
+
+def goca_cfar_2d(maps: jnp.ndarray, params: CfarParams,
+                 layout: str = "vgq") -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Detection mask and threshold map for pair-sum maps.
+
+    ``layout="vgq"``: maps are [V, G, pairs] (default). ``layout="qgv"``:
+    maps are [pairs, G, V] (the beams-major tail). Returns (mask bool,
+    threshold), in the input layout; border cells are always False in the
+    mask (threshold map holds garbage there).
     """
+    r_axis, v_axis = (1, 0) if layout == "vgq" else (1, 2)
     lead_r, trail_r = lead_trail_means(maps, params.guard_cells_r,
-                                       params.ref_cells_r, axis=1)
+                                       params.ref_cells_r, axis=r_axis)
     noise_r = _combine(lead_r, trail_r, params.method)
     lead_v, trail_v = lead_trail_means(maps, params.guard_cells_v,
-                                       params.ref_cells_v, axis=0)
+                                       params.ref_cells_v, axis=v_axis)
     noise_v = _combine(lead_v, trail_v, params.method)
     noise = jnp.maximum(noise_r, noise_v)
     threshold = params.threshold_factor * noise
 
-    num_v, num_r = maps.shape[0], maps.shape[1]
+    num_v, num_r = maps.shape[v_axis], maps.shape[r_axis]
     border_r = params.ref_cells_r + params.guard_cells_r
     border_v = params.ref_cells_v + params.guard_cells_v
     r_ok = (jnp.arange(num_r) >= border_r) & (jnp.arange(num_r)
                                               < num_r - border_r)
     v_ok = (jnp.arange(num_v) >= border_v) & (jnp.arange(num_v)
                                               < num_v - border_v)
-    valid = v_ok[:, None, None] & r_ok[None, :, None]
+    if layout == "vgq":
+        valid = v_ok[:, None, None] & r_ok[None, :, None]
+    else:
+        valid = r_ok[None, :, None] & v_ok[None, None, :]
     mask = (maps > threshold) & valid
     return mask, threshold
 
@@ -165,16 +182,39 @@ def first_k_true_indices(flat: jnp.ndarray, capacity: int,
 
 
 def extract_detections(mask: jnp.ndarray, maps: jnp.ndarray,
-                       capacity: int, native_scan: bool = False) -> Detections:
-    """Turn a boolean detection cube [V, G, pairs] into a fixed-capacity
-    index list ordered (pair, range, velocity)-major.
+                       capacity: int, native_scan: bool = False,
+                       layout: str = "vgq") -> Detections:
+    """Turn a boolean detection cube into a fixed-capacity index list
+    ordered (pair, range, velocity)-major.
 
-    ``native_scan`` scans the cube in its native [V, G, pairs] layout (no
-    13.6M-element transposed relayout) and argsorts the <= capacity hits
-    into the same (pair, range, velocity)-major order afterwards — identical
-    output whenever the true count fits the capacity (beyond capacity the
-    two variants keep a different — equally arbitrary — subset; the
-    reference has no capacity at all)."""
+    ``layout="vgq"``: mask/maps are [V, G, pairs] (default).
+    ``layout="qgv"``: mask/maps are [pairs, G, V] (beams-major tail) —
+    the native ravel of this layout IS the required order, so no relayout
+    or reorder happens at all.
+
+    ``native_scan`` (vgq only) scans the cube in its native [V, G, pairs]
+    layout (no 13.6M-element transposed relayout) and argsorts the <=
+    capacity hits into the same (pair, range, velocity)-major order
+    afterwards — identical output whenever the true count fits the capacity
+    (beyond capacity the two variants keep a different — equally arbitrary —
+    subset; the reference has no capacity at all)."""
+    if layout == "qgv":
+        num_q, num_r, num_v = mask.shape
+        safe, valid = first_k_true_indices(mask.ravel(), capacity)
+        pair = safe // (num_r * num_v)
+        rem = safe % (num_r * num_v)
+        r = rem // num_v
+        v = rem % num_v
+        amp = maps[pair, r, v]
+        zero = jnp.zeros((), maps.dtype)
+        return Detections(
+            v_idx=jnp.where(valid, v, 0).astype(jnp.int32),
+            r_idx=jnp.where(valid, r, 0).astype(jnp.int32),
+            pair_idx=jnp.where(valid, pair, 0).astype(jnp.int32),
+            amp=jnp.where(valid, amp, zero),
+            valid=valid,
+            count=jnp.sum(mask).astype(jnp.int32),
+        )
     num_v, num_r, num_q = mask.shape
     if native_scan:
         flat = mask.ravel()  # [V, G, Q] native order

@@ -432,7 +432,8 @@ def noise_rdm_pallas_planes(xrs, xis, plan: RdmPlan, l_factor,
                             interpret: bool = False,
                             mul_dtype=jnp.bfloat16,
                             variant: str = "beams",
-                            out_dtype=jnp.float32) -> jnp.ndarray:
+                            out_dtype=jnp.float32,
+                            layout: str = "vgb") -> jnp.ndarray:
     """Run the fused PC+MTD+mix kernel on pre-padded per-segment plane
     pairs.
 
@@ -444,9 +445,11 @@ def noise_rdm_pallas_planes(xrs, xis, plan: RdmPlan, l_factor,
     matrices' zero rows and the MTD matrix's zero columns, see the
     correctness test in tests/test_pallas_rdm.py).
 
-    Returns the beam-mixed noise RDM [n_dop, gates, beams] complex64 (the
-    downstream [V, G, B] layout; the kernel computes beams-major and one
-    transposed copy restores it)."""
+    Returns the beam-mixed noise RDM complex64: ``layout="vgb"`` gives the
+    downstream [V, G, B] layout (the kernel computes beams-major and one
+    transposed copy restores it); ``layout="bvg"`` returns the kernel's
+    native [B, V, G] layout with no transposed copy (the beams-major
+    detection tail, cfg.beams_major_tail)."""
     num_b = xrs[0].shape[0]
     l_np = np.asarray(l_factor)
     lr = jnp.asarray(l_np.real, jnp.float32)
@@ -520,6 +523,8 @@ def noise_rdm_pallas_planes(xrs, xis, plan: RdmPlan, l_factor,
             yr[:, :plan.n_dop, :seg.j_len].astype(jnp.float32),
             yi[:, :plan.n_dop, :seg.j_len].astype(jnp.float32)))
     bm = jnp.concatenate(pieces, axis=2)          # [B, V, G]
+    if layout == "bvg":
+        return bm.astype(jnp.complex64)
     return jnp.transpose(bm, (1, 2, 0)).astype(jnp.complex64)
 
 

@@ -26,7 +26,7 @@ from ..cluster.stages import ClusteredTargets, cluster_stage1, cluster_stage2
 from ..config.params import RadarConfig
 from ..measure.estimate import ParamDetections, estimate_parameters
 from ..ops.cfar import (Detections, extract_detections, goca_cfar_2d,
-                        pair_sum_maps)
+                        pair_sum_maps, pair_sum_maps_bm)
 from ..ops.dbf import dbf
 from ..ops.mtd import make_mtd_matrix, mtd, mtd_matmul
 from ..ops.pulse_compression import (make_matmul_plan, make_plan,
@@ -134,11 +134,38 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
         lr = make_lowrank_stages(cfg, precomp, plan, mplan, mtd_mat,
                                  mtd_win, dtype)
 
+    bm_tail = (cfg.beams_major_tail and lowrank
+               and cfg.noise_rdm_impl == "pallas")
+
     def process(key, targets: TargetBatch):
         if lowrank:
             # rank-K deterministic RDM + post-MTD noise mixing: PC contracts
             # fast time, MTD slow time, the Cholesky mix beams — disjoint
             # axes, so all three commute (exact up to float reassociation)
+            if bm_tail and lr.noise_rdm is not None:
+                # beams-major tail: RDM stays in the kernel's [B, V, G]
+                # layout end-to-end and the maps/mask go [pairs, G, V],
+                # whose native ravel IS the reference's (pair, range,
+                # velocity)-major scan order — no transposed complex copy,
+                # no 13.6M-bool relayout. Same arithmetic, same detections.
+                interp = jax.default_backend() == "cpu"
+                rdm_bm = (lr.signal_rdm(targets, layout="bvg")
+                          + lr.noise_rdm(key, interpret=interp,
+                                         layout="bvg"))
+                maps_t = pair_sum_maps_bm(rdm_bm)
+                mask, _ = goca_cfar_2d(maps_t, cfg.cfar, layout="qgv")
+                dets = extract_detections(mask, maps_t,
+                                          cfg.cfar.max_detections,
+                                          layout="qgv")
+                params = estimate_parameters(
+                    dets, maps_t, rdm_bm, mc, ip.extra_dots,
+                    ip.r_interp_times, ip.v_interp_times,
+                    monopulse_complex=cfg.monopulse_complex, layout="bvg")
+                s1 = cluster_stage1(params, cfg.cluster)
+                final = cluster_stage2(s1, cfg.cluster)
+                return FrameResult(targets=final,
+                                   num_raw_detections=dets.count,
+                                   num_final=final.count.astype(jnp.int32))
             if lr.noise_rdm is not None:
                 rdm = lr.signal_rdm(targets) + lr.noise_rdm(
                     key, interpret=jax.default_backend() == "cpu")

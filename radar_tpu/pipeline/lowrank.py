@@ -59,12 +59,13 @@ def make_lowrank_stages(cfg: RadarConfig, precomp, plan, mplan,
         return (mtd_matmul(x, mtd_mat, precision=cfg.matmul_precision)
                 if mtd_mat is not None else mtd(x, mtd_win, cfg.mtd_fft_len))
 
-    def signal_rdm(targets):
+    def signal_rdm(targets, layout="vgb"):
         dop_amp, base, steer_b = synthesize_factors(targets, precomp, cfg,
                                                     mix_np, dtype=dtype)
         pc_base = _pc_full(base[:, :, None])[:, :, 0]          # [K, gates]
         dop_v = _mtd(dop_amp.T[:, None, :])[:, 0, :].T         # [K, n_dop]
-        return jnp.einsum("kv,kj,kb->vjb", dop_v, pc_base, steer_b,
+        spec = "kv,kj,kb->bvj" if layout == "bvg" else "kv,kj,kb->vjb"
+        return jnp.einsum(spec, dop_v, pc_base, steer_b,
                           preferred_element_type=dtype)
 
     def gen_noise(key):
@@ -129,7 +130,7 @@ def make_lowrank_stages(cfg: RadarConfig, precomp, plan, mplan,
                 xis.append(g[1].astype(mul))
             return xrs, xis
 
-        def noise_rdm(key, interpret=False):
+        def noise_rdm(key, interpret=False, layout="vgb"):
             xrs, xis = noise_planes(key, interpret)
             # bf16 output planes halve the kernel write + downstream read
             # traffic (measured 1.77 -> 1.62 ms for gen+kernel); a 2^-8
@@ -139,7 +140,8 @@ def make_lowrank_stages(cfg: RadarConfig, precomp, plan, mplan,
             return noise_rdm_pallas_planes(
                 xrs, xis, rplan, l_np, interpret=interpret,
                 mul_dtype=jnp.float32 if interpret else jnp.bfloat16,
-                out_dtype=jnp.float32 if interpret else jnp.bfloat16)
+                out_dtype=jnp.float32 if interpret else jnp.bfloat16,
+                layout=layout)
     else:
         noise_planes = None
 

@@ -79,6 +79,10 @@ def main():
             kw["extract_native_scan"] = True
         if "prdm" in v:
             kw["noise_rdm_impl"] = "pallas"
+        if "unif" in v:
+            kw["noise_dist"] = "uniform"
+        if "bmtail" in v:
+            kw["beams_major_tail"] = True
         dts[v] = time_variant(cfg.replace(**kw) if kw else cfg, targets, v)
     if len(dts) > 1:
         base = list(dts.values())[0]

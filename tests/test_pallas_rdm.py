@@ -169,3 +169,29 @@ def test_direct_generation_pipeline_detects_truth():
     pre = precompute(cfg)
     r = np.asarray(res.targets.range_m)[:n]
     assert np.min(np.abs(r - 3000.0)) < 2 * pre.delta_r
+
+
+def test_beams_major_tail_matches_reference_layout():
+    """cfg.beams_major_tail keeps the RDM in the kernel's [B,V,G] layout and
+    the maps/mask in [pairs,G,V]; detections and refined parameters must be
+    IDENTICAL to the default [V,G,B] tail (same draws, same arithmetic, and
+    the qgv ravel reproduces the (pair,range,velocity)-major scan order)."""
+    from radar_tpu.pipeline.frame import make_frame_processor
+    from radar_tpu.sim.scenario import TargetBatch
+
+    base = small_test_config().replace(fused_synth_dbf=True,
+                                       lowrank_rdm=True,
+                                       noise_rdm_impl="pallas")
+    tb = TargetBatch.make([3000.0, 6000.0], [15.0, -8.0], [10.0, 12.0],
+                          [20.0, 14.0])
+    key = jax.random.PRNGKey(7)
+    ref = make_frame_processor(base)(key, tb)
+    bm = make_frame_processor(base.replace(beams_major_tail=True))(key, tb)
+    assert int(bm.num_raw_detections) == int(ref.num_raw_detections)
+    assert int(bm.num_final) == int(ref.num_final)
+    n = int(ref.num_final)
+    assert n >= 1
+    for field in ("range_m", "velocity_ms", "angle_deg", "power"):
+        a = np.asarray(getattr(ref.targets, field))[:n]
+        b = np.asarray(getattr(bm.targets, field))[:n]
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-4)
