@@ -235,7 +235,7 @@ class RadarConfig:
     # first/second moments either way (excess kurtosis ~ -1.2/N_eff <
     # 1e-3); validated end-to-end by the SNR-sweep statistics
     # (results/snr_sweep_uniform.json). Only consulted by
-    # noise_rdm_impl="pallas".
+    # noise_rdm_impl="pallas"; "pallas_prng" requires "uniform".
     noise_dist: str = "normal"
     # Fuse echo synthesis + DBF into beam space: the signal is contracted
     # with the DBF weights per target before the big outer product (exact
@@ -262,8 +262,12 @@ class RadarConfig:
     # cube out transposed first; identical output below capacity
     extract_native_scan: bool = False
     # lowrank noise-RDM backend: "xla" (banded-Toeplitz PC + MTD matmul +
-    # mix, three stages) or "pallas" (ops/pallas_rdm.py fused one-pass
-    # kernel with double-buffered window DMA; TPU only)
+    # mix, three stages), "pallas" (ops/pallas_rdm.py fused one-pass
+    # kernel with double-buffered window DMA; TPU only), or "pallas_prng"
+    # (same fused kernel but the white noise is drawn INSIDE the kernel by
+    # the on-core hardware PRNG, keyed per (frame, segment, beam, chunk) —
+    # no white cube in HBM at all; requires noise_dist="uniform";
+    # bit/statistics validation vs "pallas": results/rdm_gen.json)
     noise_rdm_impl: str = "xla"
     # Keep the detection tail in the Pallas kernel's beams-major layout
     # (lowrank+pallas path only): RDM stays [B, V, G] (no transposed
@@ -315,7 +319,7 @@ def full_config() -> RadarConfig:
 # validated in results/ (see ARCHITECTURE.md "perf-path algebra").
 PERF_OVERRIDES = dict(fused_synth_dbf=True, lowrank_rdm=True,
                       matmul_precision="bf16", noise_prng="rbg",
-                      noise_rdm_impl="pallas", noise_dist="uniform")
+                      noise_rdm_impl="pallas_prng", noise_dist="uniform")
 
 
 def perf_config(base: RadarConfig | None = None,

@@ -58,7 +58,7 @@ class RdmPlan(NamedTuple):
 
 
 def make_rdm_plan(precomp, mtd_matrix, num_pulses: int,
-                  tile: int = 256) -> RdmPlan:
+                  tile: int = 256, lane: int = 1) -> RdmPlan:
     g1, g2, _ = precomp.gate_splits
     n_total = precomp.n_total_gate
     fd = precomp.fir_delay
@@ -78,6 +78,10 @@ def make_rdm_plan(precomp, mtd_matrix, num_pulses: int,
             (np.asarray(precomp.mf_long_win), g1 + g2, n_total)):
         lh = len(h)
         t = min(tile, int(2 ** np.ceil(np.log2(out_hi - out_lo))))
+        # the in-kernel-PRNG variant keys draws by absolute 128-lane chunk
+        # position, which needs 128-aligned tiles (lane=128); the DMA
+        # variants take any tile (lane=1, the default, unchanged)
+        t = -(-t // lane) * lane
         r0 = max(out_lo - (lh - 1), 0)
         r_len = out_hi - r0
         pad_front = (lh - 1) - (out_lo - r0)
@@ -96,6 +100,49 @@ def make_rdm_plan(precomp, mtd_matrix, num_pulses: int,
         c0 += r_len
     return RdmPlan(segments=tuple(segs), s_compact=c0, n_gates=n_total,
                    n_dop=n_dop, dr=dr, di=di, p_pad=p_pad, v_pad=v_pad)
+
+
+def _pc_mtd_step(xr, xi, mpr_ref, mpi_ref, dr_ref, di_ref, mtr_s, mti_s,
+                 b, mul_dtype):
+    """Shared per-step compute: banded-PC dot + MTD DFT dot for one beam's
+    [p_pad, window] white planes, buffered unmixed into mtr/mti scratch."""
+    f32 = jnp.float32
+    mpr = mpr_ref[:]
+    mpi = mpi_ref[:]
+    pcr = (jnp.dot(xr, mpr, preferred_element_type=f32)
+           - jnp.dot(xi, mpi, preferred_element_type=f32))
+    pci = (jnp.dot(xr, mpi, preferred_element_type=f32)
+           + jnp.dot(xi, mpr, preferred_element_type=f32))
+    pcr16 = pcr.astype(mul_dtype)
+    pci16 = pci.astype(mul_dtype)
+    dr = dr_ref[:]
+    di = di_ref[:]
+    # buffer this beam's UNMIXED mtd tile; the 13x13 mix runs once per
+    # gate tile as an MXU contraction (a per-beam VPU accumulation is
+    # B^2 elementwise passes — measured 28% slower than the XLA chain)
+    mtr_s[b] = (jnp.dot(dr, pcr16, preferred_element_type=f32)
+                - jnp.dot(di, pci16, preferred_element_type=f32)
+                ).astype(mul_dtype)
+    mti_s[b] = (jnp.dot(dr, pci16, preferred_element_type=f32)
+                + jnp.dot(di, pcr16, preferred_element_type=f32)
+                ).astype(mul_dtype)
+
+
+def _mix_tail(lr_ref, li_ref, mtr_s, mti_s, yr_ref, yi_ref, out_dtype):
+    """Cholesky beam mix of the buffered [num_b, v_pad, tile] MTD tiles
+    as one MXU contraction, run on the last beam step of each gate tile."""
+    f32 = jnp.float32
+    lr = lr_ref[:]
+    li = li_ref[:]
+    mtr = mtr_s[:]
+    mti = mti_s[:]
+    dn = (((1,), (0,)), ((), ()))
+    rr = jax.lax.dot_general(lr, mtr, dn, preferred_element_type=f32)
+    ri = jax.lax.dot_general(lr, mti, dn, preferred_element_type=f32)
+    ir = jax.lax.dot_general(li, mtr, dn, preferred_element_type=f32)
+    ii = jax.lax.dot_general(li, mti, dn, preferred_element_type=f32)
+    yr_ref[...] = (rr - ii).astype(out_dtype)
+    yi_ref[...] = (ri + ir).astype(out_dtype)
 
 
 def _make_kernel(p_pad: int, v_pad: int, window: int, num_b: int,
@@ -140,42 +187,85 @@ def _make_kernel(p_pad: int, v_pad: int, window: int, num_b: int,
         cur_r, cur_i = dma(slot, step)
         cur_r.wait()
         cur_i.wait()
-        xr = xr_s[slot]
-        xi = xi_s[slot]
-        mpr = mpr_ref[:]
-        mpi = mpi_ref[:]
-        f32 = jnp.float32
-        pcr = (jnp.dot(xr, mpr, preferred_element_type=f32)
-               - jnp.dot(xi, mpi, preferred_element_type=f32))
-        pci = (jnp.dot(xr, mpi, preferred_element_type=f32)
-               + jnp.dot(xi, mpr, preferred_element_type=f32))
-        pcr16 = pcr.astype(mul_dtype)
-        pci16 = pci.astype(mul_dtype)
-        dr = dr_ref[:]
-        di = di_ref[:]
-        # buffer this beam's UNMIXED mtd tile; the 13x13 mix runs once per
-        # gate tile as an MXU contraction (a per-beam VPU accumulation is
-        # B^2 elementwise passes — measured 28% slower than the XLA chain)
-        mtr_s[b] = (jnp.dot(dr, pcr16, preferred_element_type=f32)
-                    - jnp.dot(di, pci16, preferred_element_type=f32)
-                    ).astype(mul_dtype)
-        mti_s[b] = (jnp.dot(dr, pci16, preferred_element_type=f32)
-                    + jnp.dot(di, pcr16, preferred_element_type=f32)
-                    ).astype(mul_dtype)
+        _pc_mtd_step(xr_s[slot], xi_s[slot], mpr_ref, mpi_ref, dr_ref,
+                     di_ref, mtr_s, mti_s, b, mul_dtype)
 
         @pl.when(b == num_b - 1)
         def _():
-            lr = lr_ref[:]
-            li = li_ref[:]
-            mtr = mtr_s[:]
-            mti = mti_s[:]
-            dn = (((1,), (0,)), ((), ()))
-            rr = jax.lax.dot_general(lr, mtr, dn, preferred_element_type=f32)
-            ri = jax.lax.dot_general(lr, mti, dn, preferred_element_type=f32)
-            ir = jax.lax.dot_general(li, mtr, dn, preferred_element_type=f32)
-            ii = jax.lax.dot_general(li, mti, dn, preferred_element_type=f32)
-            yr_ref[...] = (rr - ii).astype(out_dtype)
-            yi_ref[...] = (ri + ir).astype(out_dtype)
+            _mix_tail(lr_ref, li_ref, mtr_s, mti_s, yr_ref, yi_ref,
+                      out_dtype)
+
+    return kernel
+
+
+def _draw_uniform_chunk(seed_ref, b, c, p_pad: int, pad_front: int,
+                        a_scale: float):
+    """One 128-lane chunk of U[-a, a) re/im rails from the on-core
+    hardware PRNG, keyed by (frame seed, segment, beam, ABSOLUTE chunk
+    index) — so any window that covers chunk ``c`` regenerates the exact
+    same values, preserving the banded-convolution semantics across
+    overlapping tile windows. 24-bit mantissa uniforms (same idiom as
+    ops/pallas_noise.py); the first ``pad_front`` samples (pre-PRT causal
+    history) are zeroed. Returns (re, im) f32 [p_pad, 128] planes.
+
+    Mosaic accepts at most TWO seed words, so (beam, chunk) fold into the
+    second via a Knuth multiplicative hash of the unique index b*2^16+c
+    (c < 2^16 always); the segment id is folded into the first word at
+    trace time (see noise_rdm_pallas_gen)."""
+    pltpu.prng_seed(seed_ref[0],
+                    seed_ref[1] + (b * np.int32(65536) + c)
+                    * np.int32(-1640531527))
+    bits = pltpu.bitcast(pltpu.prng_random_bits((p_pad, 256)), jnp.uint32)
+    # Mosaic has no uint32->f32 cast; >>8 fits in int32, bitcast first.
+    k24 = pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32)
+    # (k + 0.5 - 2^23) * 2a/2^24: exactly zero-mean, var a^2/3 (+O(2^-48))
+    u = (k24 - np.float32(2.0 ** 23 - 0.5)) * np.float32(
+        2.0 * a_scale * 2.0 ** -24)
+    ur = u[:, :128]
+    ui = u[:, 128:]
+    if pad_front:
+        pos = c * 128 + jax.lax.broadcasted_iota(jnp.int32, (p_pad, 128), 1)
+        m = (pos >= pad_front).astype(jnp.float32)
+        ur = ur * m
+        ui = ui * m
+    return ur, ui
+
+
+def _make_kernel_gen(p_pad: int, v_pad: int, window: int, num_b: int,
+                     tile: int, pad_front: int, a_scale: float,
+                     mul_dtype, out_dtype=jnp.float32):
+    """In-kernel-noise variant of ``_make_kernel``: instead of DMA-ing
+    pre-generated white planes from HBM, each grid step draws its own
+    [p_pad, window] uniform window straight from the hardware PRNG
+    (``_draw_uniform_chunk`` per 128-lane chunk). No input cube exists in
+    HBM at all — the zgen stage, its HBM write, and the kernel's
+    overlap-amplified window reads all disappear. Requires
+    ``cfg.noise_dist="uniform"`` rails (the validated CLT argument,
+    results/snr_sweep_uniform*.json) and 128-aligned gate tiles."""
+    assert tile % 128 == 0 and window % 128 == 0
+    nchunks = window // 128
+    stride = tile // 128
+
+    def kernel(seed_ref, mpr_ref, mpi_ref, dr_ref, di_ref,
+               lr_ref, li_ref, yr_ref, yi_ref, mtr_s, mti_s):
+        t = pl.program_id(0)
+        b = pl.program_id(1)
+        rp, ip = [], []
+        for i in range(nchunks):
+            ur, ui = _draw_uniform_chunk(seed_ref, b,
+                                         t * stride + np.int32(i),
+                                         p_pad, pad_front, a_scale)
+            rp.append(ur.astype(mul_dtype))
+            ip.append(ui.astype(mul_dtype))
+        xr = jnp.concatenate(rp, axis=1)
+        xi = jnp.concatenate(ip, axis=1)
+        _pc_mtd_step(xr, xi, mpr_ref, mpi_ref, dr_ref, di_ref,
+                     mtr_s, mti_s, b, mul_dtype)
+
+        @pl.when(b == num_b - 1)
+        def _():
+            _mix_tail(lr_ref, li_ref, mtr_s, mti_s, yr_ref, yi_ref,
+                      out_dtype)
 
     return kernel
 
@@ -526,6 +616,139 @@ def noise_rdm_pallas_planes(xrs, xis, plan: RdmPlan, l_factor,
     if layout == "bvg":
         return bm.astype(jnp.complex64)
     return jnp.transpose(bm, (1, 2, 0)).astype(jnp.complex64)
+
+
+def noise_rdm_pallas_gen(seed, plan: RdmPlan, l_factor,
+                         a_scale: float,
+                         interpret: bool = False,
+                         mul_dtype=jnp.bfloat16,
+                         out_dtype=jnp.float32,
+                         layout: str = "vgb") -> jnp.ndarray:
+    """Fused PC+MTD+mix kernel with IN-KERNEL white-noise generation: the
+    hardware PRNG draws each step's [p_pad, window] uniform window on-core
+    (``_make_kernel_gen``), so no white cube ever exists in HBM — the zgen
+    stage, its ~45 MB write and the kernel's overlap-amplified window
+    reads are all eliminated.
+
+    ``seed``: int32[2] per-frame stream id (from the frame PRNG key);
+    draws are keyed (seed, segment, beam, absolute-chunk), giving
+    independent streams across frames/segments/beams and bit-identical
+    regeneration of overlapping window chunks. ``a_scale``: uniform rail
+    half-width (sqrt(1.5) for unit rail variance — the validated
+    cfg.noise_dist="uniform" rails). The plan must be built with
+    ``lane=128``. Under ``interpret`` (CPU tests) the TPU-semantics
+    interpreter runs the kernel functionally but its PRNG is degenerate
+    (all-zero bits -> zero noise); statistical and bit-level validation
+    runs on real hardware (scripts/validate_rdm_gen.py,
+    results/rdm_gen.json)."""
+    num_b = l_factor.shape[0]
+    l_np = np.asarray(l_factor)
+    lr = jnp.asarray(l_np.real, jnp.float32)
+    li = jnp.asarray(l_np.imag, jnp.float32)
+    const_spec = lambda shp: pl.BlockSpec(shp, lambda t, b: (0, 0),
+                                          memory_space=pltpu.VMEM)
+    pieces = []
+    for si, seg in enumerate(plan.segments):
+        ntiles = -(-seg.j_len // seg.tile)
+        jpad = ntiles * seg.tile
+        kernel = _make_kernel_gen(plan.p_pad, plan.v_pad, seg.window,
+                                  num_b, seg.tile, seg.pad_front,
+                                  float(a_scale), mul_dtype, out_dtype)
+        h = (si * -1640531527) & 0xFFFFFFFF   # static int32 wraparound
+        seeds = jnp.asarray(seed, jnp.int32).reshape(2).at[0].add(
+            np.int32(h - (1 << 32) if h >= (1 << 31) else h))
+        yr, yi = pl.pallas_call(
+            kernel,
+            grid=(ntiles, num_b),   # beams innermost: out block accumulates
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                const_spec((seg.window, seg.tile)),
+                const_spec((seg.window, seg.tile)),
+                const_spec((plan.v_pad, plan.p_pad)),
+                const_spec((plan.v_pad, plan.p_pad)),
+                const_spec((num_b, num_b)),
+                const_spec((num_b, num_b)),
+            ],
+            out_specs=[
+                pl.BlockSpec((num_b, plan.v_pad, seg.tile),
+                             lambda t, b: (0, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((num_b, plan.v_pad, seg.tile),
+                             lambda t, b: (0, 0, t),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((num_b, plan.v_pad, jpad), out_dtype),
+                jax.ShapeDtypeStruct((num_b, plan.v_pad, jpad), out_dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((num_b, plan.v_pad, seg.tile), mul_dtype),
+                pltpu.VMEM((num_b, plan.v_pad, seg.tile), mul_dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(seeds, jnp.asarray(seg.mpr, mul_dtype),
+          jnp.asarray(seg.mpi, mul_dtype),
+          jnp.asarray(plan.dr, mul_dtype), jnp.asarray(plan.di, mul_dtype),
+          lr.astype(mul_dtype), li.astype(mul_dtype))
+        pieces.append(jax.lax.complex(
+            yr[:, :plan.n_dop, :seg.j_len].astype(jnp.float32),
+            yi[:, :plan.n_dop, :seg.j_len].astype(jnp.float32)))
+    bm = jnp.concatenate(pieces, axis=2)          # [B, V, G]
+    if layout == "bvg":
+        return bm.astype(jnp.complex64)
+    return jnp.transpose(bm, (1, 2, 0)).astype(jnp.complex64)
+
+
+def gen_noise_planes_pallas(seed, plan: RdmPlan, num_b: int,
+                            a_scale: float,
+                            interpret: bool = False,
+                            mul_dtype=jnp.bfloat16):
+    """Debug twin of ``noise_rdm_pallas_gen``'s draw stage: exports the
+    exact planes the in-kernel generator produces (same seeding, same
+    chunk addressing, same bf16 cast), padded to ``segment_buffer_len``,
+    so the DMA-path kernel can be fed the SAME noise — the bit-level
+    equivalence check between the two kernels on real hardware."""
+    planes = []
+    for si, seg in enumerate(plan.segments):
+        ntiles = -(-seg.j_len // seg.tile)
+        xlen = (ntiles - 1) * seg.tile + seg.window   # samples windows read
+        nch = xlen // 128
+
+        def kernel(seed_ref, yr_ref, yi_ref, *, pad_front=seg.pad_front):
+            c = pl.program_id(0)
+            b = pl.program_id(1)
+            ur, ui = _draw_uniform_chunk(seed_ref, b, c, plan.p_pad,
+                                         pad_front, float(a_scale))
+            yr_ref[...] = ur.astype(mul_dtype)[None]
+            yi_ref[...] = ui.astype(mul_dtype)[None]
+
+        h = (si * -1640531527) & 0xFFFFFFFF   # static int32 wraparound
+        seeds = jnp.asarray(seed, jnp.int32).reshape(2).at[0].add(
+            np.int32(h - (1 << 32) if h >= (1 << 31) else h))
+        yr, yi = pl.pallas_call(
+            kernel,
+            grid=(nch, num_b),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=[
+                pl.BlockSpec((1, plan.p_pad, 128), lambda c, b: (b, 0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, plan.p_pad, 128), lambda c, b: (b, 0, c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((num_b, plan.p_pad, xlen), mul_dtype),
+                jax.ShapeDtypeStruct((num_b, plan.p_pad, xlen), mul_dtype),
+            ],
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(seeds)
+        buf = segment_buffer_len(seg)
+        if buf > xlen:   # trailing samples no window reads: value irrelevant
+            yr = jnp.pad(yr, ((0, 0), (0, 0), (0, buf - xlen)))
+            yi = jnp.pad(yi, ((0, 0), (0, 0), (0, buf - xlen)))
+        planes.append((yr, yi))
+    return [p[0] for p in planes], [p[1] for p in planes]
 
 
 def _call_allbeams(seg: RdmSegSpec, xr, xi, plan: RdmPlan, l_np, num_b,

@@ -135,7 +135,7 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
                                  mtd_win, dtype)
 
     bm_tail = (cfg.beams_major_tail and lowrank
-               and cfg.noise_rdm_impl == "pallas")
+               and cfg.noise_rdm_impl in ("pallas", "pallas_prng"))
 
     def process(key, targets: TargetBatch):
         if lowrank:

@@ -85,7 +85,47 @@ def make_lowrank_stages(cfg: RadarConfig, precomp, plan, mplan,
             preferred_element_type=dtype)
 
     noise_rdm = None
-    if (cfg.noise_rdm_impl == "pallas" and mplan is not None
+    if (cfg.noise_rdm_impl == "pallas_prng" and mplan is not None
+            and mtd_mat is not None):
+        # in-kernel noise generation: the hardware PRNG draws each grid
+        # step's window on-core — no white cube in HBM at all (no zgen
+        # stage, no write, no overlap-amplified window reads). Only the
+        # uniform-rail distribution is implemented in the kernel (the CLT
+        # argument validated in results/snr_sweep_uniform*.json); bit- and
+        # statistics-level validation vs the DMA-plane kernel on real
+        # hardware: scripts/validate_rdm_gen.py -> results/rdm_gen.json.
+        if cfg.noise_dist != "uniform":
+            raise ValueError(
+                "noise_rdm_impl='pallas_prng' implements uniform rails "
+                "only; set noise_dist='uniform'")
+        import jax
+
+        from ..ops.pallas_rdm import make_rdm_plan, noise_rdm_pallas_gen
+
+        rplan = make_rdm_plan(precomp, mtd_mat, cfg.sig.prt_num, tile=128,
+                              lane=128)
+        a_unif = float(np.sqrt(1.5))   # unit rail variance: a^2/3 = 1/2
+
+        def _frame_seed(key):
+            # two int32 words from the frame key (domain-separated so the
+            # kernel's stream never aliases the jax.random draws elsewhere
+            # in the frame)
+            k = jax.random.fold_in(key, 0x5eed)
+            data = (k if jnp.issubdtype(k.dtype, jnp.integer)
+                    else jax.random.key_data(k))
+            return jax.lax.bitcast_convert_type(
+                data.reshape(-1)[:2].astype(jnp.uint32), jnp.int32)
+
+        def noise_rdm(key, interpret=False, layout="vgb"):
+            return noise_rdm_pallas_gen(
+                _frame_seed(key), rplan, l_np, a_unif,
+                interpret=interpret,
+                mul_dtype=jnp.float32 if interpret else jnp.bfloat16,
+                out_dtype=jnp.float32 if interpret else jnp.bfloat16,
+                layout=layout)
+
+        noise_planes = None
+    elif (cfg.noise_rdm_impl == "pallas" and mplan is not None
             and mtd_mat is not None):
         import jax
 

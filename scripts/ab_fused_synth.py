@@ -79,6 +79,9 @@ def main():
             kw["extract_native_scan"] = True
         if "prdm" in v:
             kw["noise_rdm_impl"] = "pallas"
+        if "prng" in v:   # in-kernel noise generation (uniform rails only)
+            kw["noise_rdm_impl"] = "pallas_prng"
+            kw["noise_dist"] = "uniform"
         if "unif" in v:
             kw["noise_dist"] = "uniform"
         if "bmtail" in v:

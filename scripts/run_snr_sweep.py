@@ -38,6 +38,10 @@ def main() -> None:
     ap.add_argument("--uniform", action="store_true",
                     help="uniform white-noise rails for the Pallas "
                          "noise-RDM path (cfg.noise_dist='uniform')")
+    ap.add_argument("--prng", action="store_true",
+                    help="in-kernel hardware-PRNG noise generation "
+                         "(cfg.noise_rdm_impl='pallas_prng'; implies "
+                         "uniform rails)")
     ap.add_argument("--out", default="snr_sweep.png")
     ap.add_argument("--json", default=None,
                     help="also write the sweep arrays to this JSON path")
@@ -71,6 +75,10 @@ def main() -> None:
                           noise_rdm_impl="pallas")
     if args.uniform:
         cfg = cfg.replace(noise_dist="uniform")
+    if args.prng:
+        cfg = cfg.replace(fused_synth_dbf=True, lowrank_rdm=True,
+                          noise_rdm_impl="pallas_prng",
+                          noise_dist="uniform")
 
     t0 = time.time()
     res = snr_sweep(cfg, snr_db_vector=snr_vec, num_trials=args.trials,

@@ -195,3 +195,65 @@ def test_beams_major_tail_matches_reference_layout():
         a = np.asarray(getattr(ref.targets, field))[:n]
         b = np.asarray(getattr(bm.targets, field))[:n]
         np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-4)
+
+
+def test_gen_kernel_matches_dma_kernel_on_exported_planes():
+    """In-kernel-PRNG variant (noise_rdm_pallas_gen) vs the DMA-plane
+    kernel fed the EXPORTED generator planes (gen_noise_planes_pallas):
+    same seeding, same absolute-chunk addressing, same dot order =>
+    bit-identical outputs — this is the proof that overlapping tile
+    windows regenerate identical samples (banded-convolution semantics)
+    and that pad_front zeroing matches. Runs under the TPU-semantics
+    interpreter here; the same check passes on real hardware
+    (scripts/validate_rdm_gen.py -> results/rdm_gen.json)."""
+    from radar_tpu.ops.pallas_rdm import (gen_noise_planes_pallas,
+                                          noise_rdm_pallas_gen)
+
+    cfg, pre, mtd_mat, _, l_np = _setup()
+    plan = make_rdm_plan(pre, mtd_mat, cfg.sig.prt_num, tile=128, lane=128)
+    seed = jnp.asarray([3, 5], jnp.int32)
+    a = float(np.sqrt(1.5))
+    y = noise_rdm_pallas_gen(seed, plan, l_np, a, interpret=True,
+                             mul_dtype=jnp.float32, out_dtype=jnp.float32)
+    xrs, xis = gen_noise_planes_pallas(seed, plan, l_np.shape[0], a,
+                                       interpret=True,
+                                       mul_dtype=jnp.float32)
+    y2 = noise_rdm_pallas_planes(xrs, xis, plan, l_np, interpret=True,
+                                 mul_dtype=jnp.float32,
+                                 out_dtype=jnp.float32)
+    assert float(jnp.max(jnp.abs(y))) > 0.0
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
+
+
+def test_gen_pipeline_detects_truth():
+    """noise_rdm_impl='pallas_prng' wires through the frame processor and
+    still finds the truth target (interpreter PRNG on CPU)."""
+    from radar_tpu.pipeline.frame import make_frame_processor
+    from radar_tpu.sim.scenario import TargetBatch
+
+    cfg = small_test_config().replace(fused_synth_dbf=True,
+                                      lowrank_rdm=True,
+                                      noise_dist="uniform",
+                                      noise_rdm_impl="pallas_prng")
+    process = make_frame_processor(cfg, dtype=jnp.complex64)
+    tb = TargetBatch.make([3000.0], [15.0], [10.0], [20.0])
+    res = process(jax.random.PRNGKey(0), tb)
+    n = int(res.num_final)
+    assert n >= 1
+    pre = precompute(cfg)
+    r = np.asarray(res.targets.range_m)[:n]
+    assert np.min(np.abs(r - 3000.0)) < 2 * pre.delta_r
+
+
+def test_gen_requires_uniform_rails():
+    """The in-kernel generator implements only the validated uniform
+    rails; normal rails must be rejected at build time."""
+    import pytest
+
+    from radar_tpu.pipeline.frame import make_frame_processor
+
+    cfg = small_test_config().replace(fused_synth_dbf=True,
+                                      lowrank_rdm=True,
+                                      noise_rdm_impl="pallas_prng")
+    with pytest.raises(ValueError):
+        make_frame_processor(cfg)
