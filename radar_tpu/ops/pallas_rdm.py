@@ -233,7 +233,8 @@ def _draw_uniform_chunk(seed_ref, b, c, p_pad: int, pad_front: int,
 
 def _make_kernel_gen(p_pad: int, v_pad: int, window: int, num_b: int,
                      tile: int, pad_front: int, a_scale: float,
-                     mul_dtype, out_dtype=jnp.float32):
+                     mul_dtype, out_dtype=jnp.float32,
+                     beams_per_step: int = 1):
     """In-kernel-noise variant of ``_make_kernel``: instead of DMA-ing
     pre-generated white planes from HBM, each grid step draws its own
     [p_pad, window] uniform window straight from the hardware PRNG
@@ -241,7 +242,14 @@ def _make_kernel_gen(p_pad: int, v_pad: int, window: int, num_b: int,
     HBM at all — the zgen stage, its HBM write, and the kernel's
     overlap-amplified window reads all disappear. Requires
     ``cfg.noise_dist="uniform"`` rails (the validated CLT argument,
-    results/snr_sweep_uniform*.json) and 128-aligned gate tiles."""
+    results/snr_sweep_uniform*.json) and 128-aligned gate tiles.
+
+    ``beams_per_step`` unrolls that many beams into one grid step as
+    SEPARATE per-beam draw+dot chains (not the stacked-matrix formulation
+    that lost for the DMA kernel — no relayouts): the grid's beam
+    dimension shrinks accordingly, amortizing per-step framework cost.
+    Draw streams are keyed by the true beam index, so any unroll factor
+    produces bit-identical output."""
     assert tile % 128 == 0 and window % 128 == 0
     nchunks = window // 128
     stride = tile // 128
@@ -249,20 +257,29 @@ def _make_kernel_gen(p_pad: int, v_pad: int, window: int, num_b: int,
     def kernel(seed_ref, mpr_ref, mpi_ref, dr_ref, di_ref,
                lr_ref, li_ref, yr_ref, yi_ref, mtr_s, mti_s):
         t = pl.program_id(0)
-        b = pl.program_id(1)
-        rp, ip = [], []
-        for i in range(nchunks):
-            ur, ui = _draw_uniform_chunk(seed_ref, b,
-                                         t * stride + np.int32(i),
-                                         p_pad, pad_front, a_scale)
-            rp.append(ur.astype(mul_dtype))
-            ip.append(ui.astype(mul_dtype))
-        xr = jnp.concatenate(rp, axis=1)
-        xi = jnp.concatenate(ip, axis=1)
-        _pc_mtd_step(xr, xi, mpr_ref, mpi_ref, dr_ref, di_ref,
-                     mtr_s, mti_s, b, mul_dtype)
+        b0 = pl.program_id(1) * beams_per_step
 
-        @pl.when(b == num_b - 1)
+        def one_beam(b):
+            rp, ip = [], []
+            for i in range(nchunks):
+                ur, ui = _draw_uniform_chunk(seed_ref, b,
+                                             t * stride + np.int32(i),
+                                             p_pad, pad_front, a_scale)
+                rp.append(ur.astype(mul_dtype))
+                ip.append(ui.astype(mul_dtype))
+            xr = jnp.concatenate(rp, axis=1)
+            xi = jnp.concatenate(ip, axis=1)
+            _pc_mtd_step(xr, xi, mpr_ref, mpi_ref, dr_ref, di_ref,
+                         mtr_s, mti_s, b, mul_dtype)
+
+        for ub in range(beams_per_step):
+            b = b0 + np.int32(ub)
+            if num_b % beams_per_step == 0:
+                one_beam(b)
+            else:   # ragged last step: skip beams past num_b
+                pl.when(b < num_b)(lambda bb=b: one_beam(bb))
+
+        @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
         def _():
             _mix_tail(lr_ref, li_ref, mtr_s, mti_s, yr_ref, yi_ref,
                       out_dtype)
@@ -623,7 +640,8 @@ def noise_rdm_pallas_gen(seed, plan: RdmPlan, l_factor,
                          interpret: bool = False,
                          mul_dtype=jnp.bfloat16,
                          out_dtype=jnp.float32,
-                         layout: str = "vgb") -> jnp.ndarray:
+                         layout: str = "vgb",
+                         beams_per_step: int = 1) -> jnp.ndarray:
     """Fused PC+MTD+mix kernel with IN-KERNEL white-noise generation: the
     hardware PRNG draws each step's [p_pad, window] uniform window on-core
     (``_make_kernel_gen``), so no white cube ever exists in HBM — the zgen
@@ -653,13 +671,15 @@ def noise_rdm_pallas_gen(seed, plan: RdmPlan, l_factor,
         jpad = ntiles * seg.tile
         kernel = _make_kernel_gen(plan.p_pad, plan.v_pad, seg.window,
                                   num_b, seg.tile, seg.pad_front,
-                                  float(a_scale), mul_dtype, out_dtype)
+                                  float(a_scale), mul_dtype, out_dtype,
+                                  beams_per_step=beams_per_step)
         h = (si * -1640531527) & 0xFFFFFFFF   # static int32 wraparound
         seeds = jnp.asarray(seed, jnp.int32).reshape(2).at[0].add(
             np.int32(h - (1 << 32) if h >= (1 << 31) else h))
         yr, yi = pl.pallas_call(
             kernel,
-            grid=(ntiles, num_b),   # beams innermost: out block accumulates
+            # beams innermost: out block accumulates across beam steps
+            grid=(ntiles, -(-num_b // beams_per_step)),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 const_spec((seg.window, seg.tile)),

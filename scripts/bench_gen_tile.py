@@ -35,7 +35,9 @@ def main():
     l_np = beam_noise_factor(w_eff)
     a = float(np.sqrt(1.5))
     out = {}
-    for tile in (int(t) for t in (sys.argv[1:] or [128, 256, 384, 512])):
+    for spec in (sys.argv[1:] or ["128", "256", "384", "512"]):
+        tile_s, _, bps_s = spec.partition(":")   # "tile[:beams_per_step]"
+        tile, bps = int(tile_s), int(bps_s or 1)
         plan = make_rdm_plan(pre, mtd_mat, cfg.sig.prt_num, tile=tile,
                              lane=128)
 
@@ -43,7 +45,8 @@ def main():
             def body(i, acc):
                 y = noise_rdm_pallas_gen(
                     jnp.stack([seed + i, seed - i]), plan, l_np, a,
-                    out_dtype=jnp.bfloat16, layout="bvg")
+                    out_dtype=jnp.bfloat16, layout="bvg",
+                    beams_per_step=bps)
                 return acc + jnp.sum(jnp.abs(y))
             return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
@@ -58,8 +61,9 @@ def main():
 
         n1, n2 = 8, 48
         dt = (min(t(n2, 1), t(n2, 2)) - min(t(n1, 3), t(n1, 4))) / (n2 - n1)
-        out[tile] = round(1e3 * dt, 4)
-        print(json.dumps({"tile": tile, "ms": out[tile],
+        out[spec] = round(1e3 * dt, 4)
+        print(json.dumps({"tile": tile, "beams_per_step": bps,
+                          "ms": out[spec],
                           "windows": [s.window for s in plan.segments]}),
               flush=True)
     print(json.dumps({"sweep_ms": out}), flush=True)

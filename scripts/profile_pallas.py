@@ -81,13 +81,18 @@ def main() -> None:
             rdm_sig = lr.signal_rdm(tb_i)
             if stage == "rdm_sig":
                 return jnp.sum(jnp.abs(rdm_sig))
-            xrs, xis = lr.noise_planes(kn)
-            if stage == "zgen":
-                acc = jnp.sum(jnp.abs(rdm_sig))
-                for x in xrs + xis:
-                    acc += jnp.sum(jnp.abs(x.astype(jnp.float32)))
-                return acc
-            rdm_z = noise_rdm_pallas_planes(xrs, xis, rplan, l_np)
+            if lr.noise_planes is not None:   # DMA-plane variant ("pallas")
+                xrs, xis = lr.noise_planes(kn)
+                if stage == "zgen":
+                    acc = jnp.sum(jnp.abs(rdm_sig))
+                    for x in xrs + xis:
+                        acc += jnp.sum(jnp.abs(x.astype(jnp.float32)))
+                    return acc
+                rdm_z = noise_rdm_pallas_planes(xrs, xis, rplan, l_np)
+            else:   # in-kernel PRNG variant ("pallas_prng"): no zgen stage
+                if stage == "zgen":
+                    return jnp.sum(jnp.abs(rdm_sig))
+                rdm_z = lr.noise_rdm(kn)
             if stage == "kernel":
                 return jnp.sum(jnp.abs(rdm_sig)) + jnp.sum(jnp.abs(rdm_z))
             rdm = rdm_sig + rdm_z
