@@ -113,6 +113,12 @@ def _pc_mtd_step(xr, xi, mpr_ref, mpi_ref, dr_ref, di_ref, mtr_s, mti_s,
            - jnp.dot(xi, mpi, preferred_element_type=f32))
     pci = (jnp.dot(xr, mpi, preferred_element_type=f32)
            + jnp.dot(xi, mpr, preferred_element_type=f32))
+    _mtd_store(pcr, pci, dr_ref, di_ref, mtr_s, mti_s, b, mul_dtype)
+
+
+def _mtd_store(pcr, pci, dr_ref, di_ref, mtr_s, mti_s, b, mul_dtype):
+    """MTD DFT dot on one beam's f32 PC tile, stored unmixed into scratch."""
+    f32 = jnp.float32
     pcr16 = pcr.astype(mul_dtype)
     pci16 = pci.astype(mul_dtype)
     dr = dr_ref[:]
@@ -283,6 +289,71 @@ def _make_kernel_gen(p_pad: int, v_pad: int, window: int, num_b: int,
         def _():
             _mix_tail(lr_ref, li_ref, mtr_s, mti_s, yr_ref, yi_ref,
                       out_dtype)
+
+    return kernel
+
+
+def _make_kernel_gen_rolling(p_pad: int, v_pad: int, window: int,
+                             num_b: int, tile: int, pad_front: int,
+                             a_scale: float, mul_dtype,
+                             out_dtype=jnp.float32):
+    """Rolling-chunk variant of ``_make_kernel_gen`` (all beams per step):
+    consecutive gate tiles share ``window - tile`` samples, so each step
+    draws only the ``tile/128`` NEW 128-lane chunks per beam into a
+    circular VMEM buffer — a window/tile-fold PRNG saving (7x on the long
+    segment) — and the banded-PC dot decomposes over the resident chunks:
+    pc = sum_i x[slot(c_t + i)] @ MP[i*128:(i+1)*128]. The four partial-
+    dot accumulators (xr*mpr, xi*mpi, xr*mpi, xi*mpr) are summed
+    separately before combining, mirroring the single big dot's f32
+    K-loop accumulation order."""
+    assert tile % 128 == 0 and window % 128 == 0
+    nchunks = window // 128
+    stride = tile // 128
+
+    def kernel(seed_ref, mpr_ref, mpi_ref, dr_ref, di_ref,
+               lr_ref, li_ref, yr_ref, yi_ref, mtr_s, mti_s,
+               xr_roll, xi_roll):
+        t = pl.program_id(0)
+        f32 = jnp.float32
+
+        def draw_to(b, c):
+            ur, ui = _draw_uniform_chunk(seed_ref, np.int32(b), c,
+                                         p_pad, pad_front, a_scale)
+            slot = jax.lax.rem(c, jnp.int32(nchunks))
+            xr_roll[b, slot] = ur.astype(mul_dtype)
+            xi_roll[b, slot] = ui.astype(mul_dtype)
+
+        # warm-up: the first window's leading chunks; every step then draws
+        # the trailing `stride` chunks of ITS window — at t=0 the two parts
+        # exactly tile chunks [0, nchunks)
+        @pl.when(t == 0)
+        def _():
+            for b in range(num_b):
+                for i in range(nchunks - stride):
+                    draw_to(b, jnp.int32(i))
+
+        for b in range(num_b):
+            for k in range(stride):
+                draw_to(b, t * stride + jnp.int32(nchunks - stride + k))
+
+        for b in range(num_b):
+            rr = ii = ri = ir = None
+            for i in range(nchunks):
+                slot = jax.lax.rem(t * stride + jnp.int32(i),
+                                   jnp.int32(nchunks))
+                xr = xr_roll[b, slot]
+                xi = xi_roll[b, slot]
+                mpr = mpr_ref[i * 128:(i + 1) * 128, :]
+                mpi = mpi_ref[i * 128:(i + 1) * 128, :]
+                d = lambda a, m: jnp.dot(a, m, preferred_element_type=f32)
+                rr = d(xr, mpr) if rr is None else rr + d(xr, mpr)
+                ii = d(xi, mpi) if ii is None else ii + d(xi, mpi)
+                ri = d(xr, mpi) if ri is None else ri + d(xr, mpi)
+                ir = d(xi, mpr) if ir is None else ir + d(xi, mpr)
+            _mtd_store(rr - ii, ri + ir, dr_ref, di_ref, mtr_s, mti_s,
+                       b, mul_dtype)
+
+        _mix_tail(lr_ref, li_ref, mtr_s, mti_s, yr_ref, yi_ref, out_dtype)
 
     return kernel
 
@@ -641,7 +712,8 @@ def noise_rdm_pallas_gen(seed, plan: RdmPlan, l_factor,
                          mul_dtype=jnp.bfloat16,
                          out_dtype=jnp.float32,
                          layout: str = "vgb",
-                         beams_per_step: int = 1) -> jnp.ndarray:
+                         beams_per_step: int = 1,
+                         rolling: bool = False) -> jnp.ndarray:
     """Fused PC+MTD+mix kernel with IN-KERNEL white-noise generation: the
     hardware PRNG draws each step's [p_pad, window] uniform window on-core
     (``_make_kernel_gen``), so no white cube ever exists in HBM — the zgen
@@ -669,17 +741,30 @@ def noise_rdm_pallas_gen(seed, plan: RdmPlan, l_factor,
     for si, seg in enumerate(plan.segments):
         ntiles = -(-seg.j_len // seg.tile)
         jpad = ntiles * seg.tile
-        kernel = _make_kernel_gen(plan.p_pad, plan.v_pad, seg.window,
-                                  num_b, seg.tile, seg.pad_front,
-                                  float(a_scale), mul_dtype, out_dtype,
-                                  beams_per_step=beams_per_step)
+        nch = seg.window // 128
+        if rolling:
+            kernel = _make_kernel_gen_rolling(
+                plan.p_pad, plan.v_pad, seg.window, num_b, seg.tile,
+                seg.pad_front, float(a_scale), mul_dtype, out_dtype)
+            nb_steps = 1
+            roll_scratch = [
+                pltpu.VMEM((num_b, nch, plan.p_pad, 128), mul_dtype),
+                pltpu.VMEM((num_b, nch, plan.p_pad, 128), mul_dtype),
+            ]
+        else:
+            kernel = _make_kernel_gen(plan.p_pad, plan.v_pad, seg.window,
+                                      num_b, seg.tile, seg.pad_front,
+                                      float(a_scale), mul_dtype, out_dtype,
+                                      beams_per_step=beams_per_step)
+            nb_steps = -(-num_b // beams_per_step)
+            roll_scratch = []
         h = (si * -1640531527) & 0xFFFFFFFF   # static int32 wraparound
         seeds = jnp.asarray(seed, jnp.int32).reshape(2).at[0].add(
             np.int32(h - (1 << 32) if h >= (1 << 31) else h))
         yr, yi = pl.pallas_call(
             kernel,
             # beams innermost: out block accumulates across beam steps
-            grid=(ntiles, -(-num_b // beams_per_step)),
+            grid=(ntiles, nb_steps),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 const_spec((seg.window, seg.tile)),
@@ -704,7 +789,7 @@ def noise_rdm_pallas_gen(seed, plan: RdmPlan, l_factor,
             scratch_shapes=[
                 pltpu.VMEM((num_b, plan.v_pad, seg.tile), mul_dtype),
                 pltpu.VMEM((num_b, plan.v_pad, seg.tile), mul_dtype),
-            ],
+            ] + roll_scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=pltpu.InterpretParams() if interpret else False,

@@ -117,16 +117,18 @@ def make_lowrank_stages(cfg: RadarConfig, precomp, plan, mplan,
                 data.reshape(-1)[:2].astype(jnp.uint32), jnp.int32)
 
         def noise_rdm(key, interpret=False, layout="vgb"):
-            # all beams unrolled into each grid step (separate per-beam
-            # draw+dot chains, bit-identical to beams_per_step=1;
-            # measured 1.498 -> 1.462 ms standalone, results/
-            # rdm_gen_tile.json)
+            # rolling-chunk all-beams kernel: each gate tile draws only
+            # its NEW 128-lane chunks into a circular VMEM buffer (same
+            # chunk-keyed draws; banded-PC dot decomposed per chunk —
+            # bf16-rounding-level equivalence, results/rdm_gen.json);
+            # measured 1.458 -> 1.303 ms standalone
+            # (results/rdm_gen_tile.json)
             return noise_rdm_pallas_gen(
                 _frame_seed(key), rplan, l_np, a_unif,
                 interpret=interpret,
                 mul_dtype=jnp.float32 if interpret else jnp.bfloat16,
                 out_dtype=jnp.float32 if interpret else jnp.bfloat16,
-                layout=layout, beams_per_step=l_np.shape[0])
+                layout=layout, rolling=True)
 
         noise_planes = None
     elif (cfg.noise_rdm_impl == "pallas" and mplan is not None

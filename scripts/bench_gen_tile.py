@@ -36,8 +36,10 @@ def main():
     a = float(np.sqrt(1.5))
     out = {}
     for spec in (sys.argv[1:] or ["128", "256", "384", "512"]):
-        tile_s, _, bps_s = spec.partition(":")   # "tile[:beams_per_step]"
-        tile, bps = int(tile_s), int(bps_s or 1)
+        # "tile[:beams_per_step]" or "tile:roll" (rolling-chunk variant)
+        tile_s, _, bps_s = spec.partition(":")
+        tile, roll = int(tile_s), bps_s == "roll"
+        bps = 1 if roll else int(bps_s or 1)
         plan = make_rdm_plan(pre, mtd_mat, cfg.sig.prt_num, tile=tile,
                              lane=128)
 
@@ -46,7 +48,7 @@ def main():
                 y = noise_rdm_pallas_gen(
                     jnp.stack([seed + i, seed - i]), plan, l_np, a,
                     out_dtype=jnp.bfloat16, layout="bvg",
-                    beams_per_step=bps)
+                    beams_per_step=bps, rolling=roll)
                 return acc + jnp.sum(jnp.abs(y))
             return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
@@ -63,7 +65,7 @@ def main():
         dt = (min(t(n2, 1), t(n2, 2)) - min(t(n1, 3), t(n1, 4))) / (n2 - n1)
         out[spec] = round(1e3 * dt, 4)
         print(json.dumps({"tile": tile, "beams_per_step": bps,
-                          "ms": out[spec],
+                          "rolling": roll, "ms": out[spec],
                           "windows": [s.window for s in plan.segments]}),
               flush=True)
     print(json.dumps({"sweep_ms": out}), flush=True)

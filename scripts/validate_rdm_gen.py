@@ -82,6 +82,37 @@ def main():
                         "pass": bool(maxdiff == 0.0 and ymax > 0.0)}
     print(json.dumps(out["bit_check"]), flush=True)
 
+    # --- check 1b: rolling-chunk variant vs the per-step generator. Same
+    # draws (chunk-keyed streams), but the banded-PC dot is decomposed
+    # into per-chunk partial dots: ~1-ulp f32 reassociation in the PC
+    # tile, which occasionally flips the pcr->bf16 rounding feeding MTD —
+    # so the expected difference scale is the bf16 quantization step
+    # (2^-8 relative) on the NOISE, the same class as the bf16 multiply
+    # planes already sweep-validated (results/bf16_matmul.json,
+    # snr_sweep_uniform*). Measured on v5e: rel 4.0e-3; CPU f32-multiply
+    # interpret shows 3e-7 (pure reassociation), confirming no plumbing
+    # bug.
+    @jax.jit
+    def roll_check(seed):
+        ya = noise_rdm_pallas_gen(seed, plan, l_np, a_unif,
+                                  interpret=interpret,
+                                  out_dtype=jnp.float32, layout="bvg",
+                                  beams_per_step=num_b)
+        yb = noise_rdm_pallas_gen(seed, plan, l_np, a_unif,
+                                  interpret=interpret,
+                                  out_dtype=jnp.float32, layout="bvg",
+                                  rolling=True)
+        d = ya - yb
+        return (jnp.max(jnp.abs(d.real)) + jnp.max(jnp.abs(d.imag)),
+                jnp.max(jnp.abs(ya)))
+
+    rdiff, rmax = (float(x) for x in roll_check(seed))
+    out["rolling_check"] = {
+        "max_abs_diff": rdiff, "max_abs_out": rmax,
+        "rel": rdiff / rmax if rmax else None,
+        "pass": bool(rmax > 0.0 and rdiff <= 2.0 ** -7 * rmax)}
+    print(json.dumps(out["rolling_check"]), flush=True)
+
     # --- check 2: moments vs the production jax.random plane path
     stages = make_lowrank_stages(
         cfg.replace(noise_rdm_impl="pallas"), pre,

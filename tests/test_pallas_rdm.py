@@ -257,3 +257,26 @@ def test_gen_requires_uniform_rails():
                                       noise_rdm_impl="pallas_prng")
     with pytest.raises(ValueError):
         make_frame_processor(cfg)
+
+
+def test_gen_rolling_matches_per_step_generator():
+    """Rolling-chunk all-beams kernel vs the per-step generator: SAME
+    chunk-keyed draws, PC dot decomposed into per-chunk partial dots —
+    f32-reassociation-level equivalence in f32-multiply interpret mode
+    (on hardware the pcr->bf16 cast makes it bf16-rounding-level instead;
+    results/rdm_gen.json)."""
+    from radar_tpu.ops.pallas_rdm import noise_rdm_pallas_gen
+
+    cfg, pre, mtd_mat, _, l_np = _setup()
+    plan = make_rdm_plan(pre, mtd_mat, cfg.sig.prt_num, tile=128, lane=128)
+    seed = jnp.asarray([3, 5], jnp.int32)
+    a = float(np.sqrt(1.5))
+    kw = dict(interpret=True, mul_dtype=jnp.float32, out_dtype=jnp.float32)
+    y1 = noise_rdm_pallas_gen(seed, plan, l_np, a, **kw)
+    y2 = noise_rdm_pallas_gen(seed, plan, l_np, a, rolling=True, **kw)
+    scale = float(jnp.max(jnp.abs(y1)))
+    assert scale > 0.0
+    np.testing.assert_allclose(np.asarray(y2.real), np.asarray(y1.real),
+                               atol=1e-5 * scale)
+    np.testing.assert_allclose(np.asarray(y2.imag), np.asarray(y1.imag),
+                               atol=1e-5 * scale)
