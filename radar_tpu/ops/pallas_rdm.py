@@ -134,9 +134,9 @@ def _mtd_store(pcr, pci, dr_ref, di_ref, mtr_s, mti_s, b, mul_dtype):
                 ).astype(mul_dtype)
 
 
-def _mix_tail(lr_ref, li_ref, mtr_s, mti_s, yr_ref, yi_ref, out_dtype):
+def _mix_vals(lr_ref, li_ref, mtr_s, mti_s):
     """Cholesky beam mix of the buffered [num_b, v_pad, tile] MTD tiles
-    as one MXU contraction, run on the last beam step of each gate tile."""
+    as one MXU contraction; returns the mixed f32 (re, im) blocks."""
     f32 = jnp.float32
     lr = lr_ref[:]
     li = li_ref[:]
@@ -147,8 +147,15 @@ def _mix_tail(lr_ref, li_ref, mtr_s, mti_s, yr_ref, yi_ref, out_dtype):
     ri = jax.lax.dot_general(lr, mti, dn, preferred_element_type=f32)
     ir = jax.lax.dot_general(li, mtr, dn, preferred_element_type=f32)
     ii = jax.lax.dot_general(li, mti, dn, preferred_element_type=f32)
-    yr_ref[...] = (rr - ii).astype(out_dtype)
-    yi_ref[...] = (ri + ir).astype(out_dtype)
+    return rr - ii, ri + ir
+
+
+def _mix_tail(lr_ref, li_ref, mtr_s, mti_s, yr_ref, yi_ref, out_dtype):
+    """_mix_vals written to the output blocks (run on each gate tile's
+    last beam step)."""
+    yr, yi = _mix_vals(lr_ref, li_ref, mtr_s, mti_s)
+    yr_ref[...] = yr.astype(out_dtype)
+    yi_ref[...] = yi.astype(out_dtype)
 
 
 def _make_kernel(p_pad: int, v_pad: int, window: int, num_b: int,
@@ -296,7 +303,9 @@ def _make_kernel_gen(p_pad: int, v_pad: int, window: int, num_b: int,
 def _make_kernel_gen_rolling(p_pad: int, v_pad: int, window: int,
                              num_b: int, tile: int, pad_front: int,
                              a_scale: float, mul_dtype,
-                             out_dtype=jnp.float32):
+                             out_dtype=jnp.float32,
+                             num_k: int = 0,
+                             _static_slots: bool = False):
     """Rolling-chunk variant of ``_make_kernel_gen`` (all beams per step):
     consecutive gate tiles share ``window - tile`` samples, so each step
     draws only the ``tile/128`` NEW 128-lane chunks per beam into a
@@ -305,14 +314,27 @@ def _make_kernel_gen_rolling(p_pad: int, v_pad: int, window: int,
     pc = sum_i x[slot(c_t + i)] @ MP[i*128:(i+1)*128]. The four partial-
     dot accumulators (xr*mpr, xi*mpi, xr*mpi, xi*mpr) are summed
     separately before combining, mirroring the single big dot's f32
-    K-loop accumulation order."""
+    K-loop accumulation order.
+
+    ``num_k > 0`` additionally fuses the RANK-K SIGNAL RDM into the mix
+    tail (cfg.lowrank_rdm's closed form): six extra refs carry the tiny
+    per-target factors — Doppler columns dv [v_pad, K] (re/im), this
+    segment's pulse-compressed base rows pb [K, tile] (re/im, tile-
+    blocked), and steering scalars in SMEM [K, num_b] — and each gate
+    tile adds sum_k steer[k,b] * (dv[:,k] (x) pb[k,:]) before the single
+    f32 output write. The separate [V, G, B] signal-cube einsum and the
+    signal+noise add disappear from the XLA graph entirely."""
     assert tile % 128 == 0 and window % 128 == 0
     nchunks = window // 128
     stride = tile // 128
 
     def kernel(seed_ref, mpr_ref, mpi_ref, dr_ref, di_ref,
-               lr_ref, li_ref, yr_ref, yi_ref, mtr_s, mti_s,
-               xr_roll, xi_roll):
+               lr_ref, li_ref, *rest):
+        if num_k:
+            (dvr_ref, dvi_ref, pbr_ref, pbi_ref, str_ref, sti_ref,
+             yr_ref, yi_ref, mtr_s, mti_s, xr_roll, xi_roll) = rest
+        else:
+            yr_ref, yi_ref, mtr_s, mti_s, xr_roll, xi_roll = rest
         t = pl.program_id(0)
         f32 = jnp.float32
 
@@ -339,8 +361,11 @@ def _make_kernel_gen_rolling(p_pad: int, v_pad: int, window: int,
         for b in range(num_b):
             rr = ii = ri = ir = None
             for i in range(nchunks):
-                slot = jax.lax.rem(t * stride + jnp.int32(i),
-                                   jnp.int32(nchunks))
+                if _static_slots:   # timing ablation ONLY (wrong values):
+                    slot = i        # sizes the dynamic-index access cost
+                else:
+                    slot = jax.lax.rem(t * stride + jnp.int32(i),
+                                       jnp.int32(nchunks))
                 xr = xr_roll[b, slot]
                 xi = xi_roll[b, slot]
                 mpr = mpr_ref[i * 128:(i + 1) * 128, :]
@@ -353,7 +378,31 @@ def _make_kernel_gen_rolling(p_pad: int, v_pad: int, window: int,
             _mtd_store(rr - ii, ri + ir, dr_ref, di_ref, mtr_s, mti_s,
                        b, mul_dtype)
 
-        _mix_tail(lr_ref, li_ref, mtr_s, mti_s, yr_ref, yi_ref, out_dtype)
+        if not num_k:
+            _mix_tail(lr_ref, li_ref, mtr_s, mti_s, yr_ref, yi_ref,
+                      out_dtype)
+            return
+        yrv, yiv = _mix_vals(lr_ref, li_ref, mtr_s, mti_s)
+        outers = []
+        for k in range(num_k):
+            dvr = dvr_ref[:, k:k + 1]            # [v_pad, 1]
+            dvi = dvi_ref[:, k:k + 1]
+            pbr = pbr_ref[k:k + 1, :]            # [1, tile]
+            pbi = pbi_ref[k:k + 1, :]
+            outers.append((dvr * pbr - dvi * pbi,   # [v_pad, tile] outer
+                           dvr * pbi + dvi * pbr))
+        # static per-beam ref writes (no scatter): out[b] = mix[b] +
+        # sum_k steer[k,b] * outer_k
+        for b in range(num_b):
+            accr = yrv[b]
+            acci = yiv[b]
+            for k, (ar, ai) in enumerate(outers):
+                sr = str_ref[k, b]
+                si = sti_ref[k, b]
+                accr = accr + (sr * ar - si * ai)
+                acci = acci + (sr * ai + si * ar)
+            yr_ref[b] = accr.astype(out_dtype)
+            yi_ref[b] = acci.astype(out_dtype)
 
     return kernel
 
@@ -713,7 +762,9 @@ def noise_rdm_pallas_gen(seed, plan: RdmPlan, l_factor,
                          out_dtype=jnp.float32,
                          layout: str = "vgb",
                          beams_per_step: int = 1,
-                         rolling: bool = False) -> jnp.ndarray:
+                         rolling: bool = False,
+                         signal=None,
+                         _static_slots: bool = False) -> jnp.ndarray:
     """Fused PC+MTD+mix kernel with IN-KERNEL white-noise generation: the
     hardware PRNG draws each step's [p_pad, window] uniform window on-core
     (``_make_kernel_gen``), so no white cube ever exists in HBM — the zgen
@@ -730,27 +781,69 @@ def noise_rdm_pallas_gen(seed, plan: RdmPlan, l_factor,
     interpreter runs the kernel functionally but its PRNG is degenerate
     (all-zero bits -> zero noise); statistical and bit-level validation
     runs on real hardware (scripts/validate_rdm_gen.py,
-    results/rdm_gen.json)."""
+    results/rdm_gen.json).
+
+    ``signal=(dop_v [K, n_dop], pc_base [K, n_gates], steer [K, num_b])``
+    (complex, traced) fuses the rank-K closed-form SIGNAL RDM into the
+    kernel's mix tail (requires ``rolling``): the returned cube is the
+    COMPLETE RDM — no separate signal einsum or add. Use f32 out_dtype so
+    the signal is not bf16-quantized (monopulse precision)."""
     num_b = l_factor.shape[0]
     l_np = np.asarray(l_factor)
     lr = jnp.asarray(l_np.real, jnp.float32)
     li = jnp.asarray(l_np.imag, jnp.float32)
     const_spec = lambda shp: pl.BlockSpec(shp, lambda t, b: (0, 0),
                                           memory_space=pltpu.VMEM)
+    num_k = 0
+    if signal is not None:
+        assert rolling, "signal fusion is implemented on the rolling kernel"
+        dop_v, pc_base, steer = signal
+        num_k = dop_v.shape[0]
+        k8 = -(-num_k // 8) * 8
+        f32 = jnp.float32
+        # Doppler columns [v_pad, K8] (K on lanes so dv[:, k] slices to a
+        # [v_pad, 1] column with no relayout); zero K/row pads contribute 0
+        dv = jnp.pad(dop_v.T, ((0, plan.v_pad - dop_v.shape[1]),
+                               (0, k8 - num_k)))
+        dvr, dvi = jnp.real(dv).astype(f32), jnp.imag(dv).astype(f32)
+        str_ = jnp.pad(jnp.real(steer).astype(f32), ((0, k8 - num_k),
+                                                     (0, 0)))
+        sti = jnp.pad(jnp.imag(steer).astype(f32), ((0, k8 - num_k),
+                                                    (0, 0)))
+    g0 = 0
     pieces = []
     for si, seg in enumerate(plan.segments):
         ntiles = -(-seg.j_len // seg.tile)
         jpad = ntiles * seg.tile
         nch = seg.window // 128
+        sig_inputs, sig_specs = (), []
         if rolling:
             kernel = _make_kernel_gen_rolling(
                 plan.p_pad, plan.v_pad, seg.window, num_b, seg.tile,
-                seg.pad_front, float(a_scale), mul_dtype, out_dtype)
+                seg.pad_front, float(a_scale), mul_dtype, out_dtype,
+                num_k=num_k, _static_slots=_static_slots)
             nb_steps = 1
             roll_scratch = [
                 pltpu.VMEM((num_b, nch, plan.p_pad, 128), mul_dtype),
                 pltpu.VMEM((num_b, nch, plan.p_pad, 128), mul_dtype),
             ]
+            if num_k:
+                pb = jnp.pad(pc_base[:, g0:g0 + seg.j_len],
+                             ((0, k8 - num_k), (0, jpad - seg.j_len)))
+                sig_inputs = (dvr, dvi,
+                              jnp.real(pb).astype(jnp.float32),
+                              jnp.imag(pb).astype(jnp.float32),
+                              str_, sti)
+                sig_specs = [
+                    const_spec((plan.v_pad, k8)),
+                    const_spec((plan.v_pad, k8)),
+                    pl.BlockSpec((k8, seg.tile), lambda t, b: (0, t),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((k8, seg.tile), lambda t, b: (0, t),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ]
         else:
             kernel = _make_kernel_gen(plan.p_pad, plan.v_pad, seg.window,
                                       num_b, seg.tile, seg.pad_front,
@@ -773,7 +866,7 @@ def noise_rdm_pallas_gen(seed, plan: RdmPlan, l_factor,
                 const_spec((plan.v_pad, plan.p_pad)),
                 const_spec((num_b, num_b)),
                 const_spec((num_b, num_b)),
-            ],
+            ] + sig_specs,
             out_specs=[
                 pl.BlockSpec((num_b, plan.v_pad, seg.tile),
                              lambda t, b: (0, 0, t),
@@ -796,10 +889,11 @@ def noise_rdm_pallas_gen(seed, plan: RdmPlan, l_factor,
         )(seeds, jnp.asarray(seg.mpr, mul_dtype),
           jnp.asarray(seg.mpi, mul_dtype),
           jnp.asarray(plan.dr, mul_dtype), jnp.asarray(plan.di, mul_dtype),
-          lr.astype(mul_dtype), li.astype(mul_dtype))
+          lr.astype(mul_dtype), li.astype(mul_dtype), *sig_inputs)
         pieces.append(jax.lax.complex(
             yr[:, :plan.n_dop, :seg.j_len].astype(jnp.float32),
             yi[:, :plan.n_dop, :seg.j_len].astype(jnp.float32)))
+        g0 += seg.j_len
     bm = jnp.concatenate(pieces, axis=2)          # [B, V, G]
     if layout == "bvg":
         return bm.astype(jnp.complex64)

@@ -149,9 +149,16 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
                 # velocity)-major scan order — no transposed complex copy,
                 # no 13.6M-bool relayout. Same arithmetic, same detections.
                 interp = jax.default_backend() == "cpu"
-                rdm_bm = (lr.signal_rdm(targets, layout="bvg")
-                          + lr.noise_rdm(key, interpret=interp,
-                                         layout="bvg"))
+                if lr.noise_rdm_sig is not None:
+                    # complete RDM from one kernel (rank-K signal fused
+                    # into the mix tail)
+                    rdm_bm = lr.noise_rdm_sig(key, targets,
+                                              interpret=interp,
+                                              layout="bvg")
+                else:
+                    rdm_bm = (lr.signal_rdm(targets, layout="bvg")
+                              + lr.noise_rdm(key, interpret=interp,
+                                             layout="bvg"))
                 maps_t = pair_sum_maps_bm(rdm_bm)
                 mask, _ = goca_cfar_2d(maps_t, cfg.cfar, layout="qgv")
                 dets = extract_detections(mask, maps_t,
@@ -166,7 +173,12 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
                 return FrameResult(targets=final,
                                    num_raw_detections=dets.count,
                                    num_final=final.count.astype(jnp.int32))
-            if lr.noise_rdm is not None:
+            if lr.noise_rdm_sig is not None:
+                # complete RDM from one kernel pass (rank-K signal fused
+                # into the mix tail) — no signal cube, no add
+                rdm = lr.noise_rdm_sig(
+                    key, targets, interpret=jax.default_backend() == "cpu")
+            elif lr.noise_rdm is not None:
                 rdm = lr.signal_rdm(targets) + lr.noise_rdm(
                     key, interpret=jax.default_backend() == "cpu")
             else:

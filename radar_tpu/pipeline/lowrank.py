@@ -37,6 +37,10 @@ class LowrankStages(NamedTuple):
     # per-segment padded plane pairs (exposed for profiling; noise_rdm ==
     # kernel(noise_planes(key)))
     noise_planes: Callable | None = None
+    # pallas_prng only: (key, targets, interpret, layout) -> COMPLETE RDM
+    # (rank-K signal fused into the kernel's mix tail; supersedes
+    # signal_rdm + noise_rdm + add when present)
+    noise_rdm_sig: Callable | None = None
 
 
 def make_lowrank_stages(cfg: RadarConfig, precomp, plan, mplan,
@@ -85,6 +89,7 @@ def make_lowrank_stages(cfg: RadarConfig, precomp, plan, mplan,
             preferred_element_type=dtype)
 
     noise_rdm = None
+    noise_rdm_sig = None
     if (cfg.noise_rdm_impl == "pallas_prng" and mplan is not None
             and mtd_mat is not None):
         # in-kernel noise generation: the hardware PRNG draws each grid
@@ -129,6 +134,26 @@ def make_lowrank_stages(cfg: RadarConfig, precomp, plan, mplan,
                 mul_dtype=jnp.float32 if interpret else jnp.bfloat16,
                 out_dtype=jnp.float32 if interpret else jnp.bfloat16,
                 layout=layout, rolling=True)
+
+        def noise_rdm_sig(key, targets, interpret=False, layout="vgb"):
+            # COMPLETE RDM in one kernel pass: the rank-K signal factors
+            # (tiny [K, *] arrays) fuse into the rolling kernel's mix tail
+            # — the [V, G, B] signal-cube einsum and the signal+noise add
+            # disappear. f32 output planes so the SIGNAL is never bf16-
+            # quantized (monopulse ratio precision); the noise thereby
+            # skips the bf16 output quantization of the noise-only path
+            # (strictly more accurate, same validated statistics class).
+            dop_amp, base, steer_b = synthesize_factors(
+                targets, precomp, cfg, mix_np, dtype=dtype)
+            pc_base = _pc_full(base[:, :, None])[:, :, 0]      # [K, gates]
+            dop_v = _mtd(dop_amp.T[:, None, :])[:, 0, :].T     # [K, n_dop]
+            return noise_rdm_pallas_gen(
+                _frame_seed(key), rplan, l_np, a_unif,
+                interpret=interpret,
+                mul_dtype=jnp.float32 if interpret else jnp.bfloat16,
+                out_dtype=jnp.float32,
+                layout=layout, rolling=True,
+                signal=(dop_v, pc_base, steer_b))
 
         noise_planes = None
     elif (cfg.noise_rdm_impl == "pallas" and mplan is not None
@@ -193,4 +218,5 @@ def make_lowrank_stages(cfg: RadarConfig, precomp, plan, mplan,
 
     return LowrankStages(signal_rdm=signal_rdm, gen_noise=gen_noise, pc=pc,
                          mtd=_mtd, mix_add=mix_add, noise_rdm=noise_rdm,
-                         noise_planes=noise_planes)
+                         noise_planes=noise_planes,
+                         noise_rdm_sig=noise_rdm_sig)

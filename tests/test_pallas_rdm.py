@@ -280,3 +280,35 @@ def test_gen_rolling_matches_per_step_generator():
                                atol=1e-5 * scale)
     np.testing.assert_allclose(np.asarray(y2.imag), np.asarray(y1.imag),
                                atol=1e-5 * scale)
+
+
+def test_signal_fusion_matches_explicit_sig_plus_noise():
+    """The rank-K signal fused into the rolling kernel's mix tail
+    (lr.noise_rdm_sig) must reproduce signal_rdm + noise_rdm with the
+    SAME key to f32-reassociation level, in both layouts."""
+    from radar_tpu.ops.mtd import make_mtd_matrix
+    from radar_tpu.ops.pulse_compression import make_matmul_plan
+    from radar_tpu.pipeline.lowrank import make_lowrank_stages
+    from radar_tpu.sim.scenario import TargetBatch
+
+    cfg = small_test_config().replace(fused_synth_dbf=True,
+                                      lowrank_rdm=True,
+                                      noise_dist="uniform",
+                                      noise_rdm_impl="pallas_prng")
+    pre = precompute(cfg)
+    mtd_mat = make_mtd_matrix(pre.mtd_win, cfg.sig.prt_num,
+                              cfg.mtd_fft_len)
+    lr = make_lowrank_stages(cfg, pre, None, make_matmul_plan(pre),
+                             mtd_mat, pre.mtd_win, jnp.complex64)
+    tb = TargetBatch(*[jnp.asarray(x, jnp.float32) for x in
+                       TargetBatch.make([3000.0, 6000.0], [15.0, -8.0],
+                                        [10.0, 12.0], [20.0, 14.0])])
+    key = jax.random.PRNGKey(0)
+    ref = lr.signal_rdm(tb) + lr.noise_rdm(key, interpret=True)
+    scale = float(jnp.max(jnp.abs(ref)))
+    for layout in ("vgb", "bvg"):
+        fused = lr.noise_rdm_sig(key, tb, interpret=True, layout=layout)
+        if layout == "bvg":
+            fused = jnp.transpose(fused, (1, 2, 0))
+        d = float(jnp.max(jnp.abs(fused - ref)))
+        assert d < 1e-6 * scale, (layout, d, scale)
