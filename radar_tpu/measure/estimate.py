@@ -94,17 +94,21 @@ def estimate_parameters(dets: Detections, pair_maps: jnp.ndarray,
     vx = jnp.asarray(precomp_dev.velocity_axis)
     k_lut = jnp.asarray(precomp_dev.k_slopes_lut)
     ang = jnp.asarray(precomp_dev.beam_angles_deg)
-    real_dtype = pair_maps.dtype
+    # estimates are computed at >= f32 even when the bulk maps arrive in a
+    # storage dtype like bf16 (the gathered stencils are only [cap, 5] —
+    # upcasting them is free; doing the spline/ratio math in bf16 would
+    # quantize range to ~16 m steps)
+    real_dtype = jnp.promote_types(pair_maps.dtype, jnp.float32)
 
     st_r = _stencil_gather(pair_maps, dets.v_idx, dets.r_idx, dets.pair_idx,
-                           extra_dots, "r", maps_layout)
+                           extra_dots, "r", maps_layout).astype(real_dtype)
     off_r = _spline_peak_offset(
         st_r, jnp.asarray(precomp_dev.q_range, real_dtype), r_times,
         extra_dots)
     est_range = rx[dets.r_idx] + off_r * precomp_dev.delta_r
 
     st_v = _stencil_gather(pair_maps, dets.v_idx, dets.r_idx, dets.pair_idx,
-                           extra_dots, "v", maps_layout)
+                           extra_dots, "v", maps_layout).astype(real_dtype)
     off_v = _spline_peak_offset(
         st_v, jnp.asarray(precomp_dev.q_vel, real_dtype), v_times,
         extra_dots)
