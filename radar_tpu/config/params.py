@@ -213,6 +213,12 @@ class RadarConfig:
     # exact direct convolution, fastest on TPU) or "fft" (frequency-domain
     # fast convolution, the reference's formulation)
     pc_method: str = "matmul"
+    # pallas_prng + lowrank only: the fused kernel ALSO emits the
+    # adjacent-beam sum maps from its resident f32 tiles ([pairs, V, G]),
+    # removing the pair_sum_maps pass and its full-RDM read; the detection
+    # tail runs on the qvg layout (only the bool mask is relaid to the
+    # reference scan order). sqrt(re^2+im^2) vs abs(complex): ULP-level.
+    kernel_maps: bool = False
     # Use the fused Pallas pair-sum+CFAR kernel (ops/pallas_kernels.py)
     # instead of the jnp formulation; TPU only (interpret-mode on CPU is for
     # tests, not speed)

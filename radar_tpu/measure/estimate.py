@@ -60,6 +60,14 @@ def _stencil_gather(maps: jnp.ndarray, v_idx, r_idx, pair_idx, extra: int,
         cells = jnp.clip(v_idx[:, None] + offs[None, :], 0,
                          maps.shape[2] - 1)
         return maps[pair_idx[:, None], r_idx[:, None], cells]
+    if layout == "qvg":   # [pairs, V, G] (fused-kernel map output)
+        if axis == "r":
+            cells = jnp.clip(r_idx[:, None] + offs[None, :], 0,
+                             maps.shape[2] - 1)
+            return maps[pair_idx[:, None], v_idx[:, None], cells]
+        cells = jnp.clip(v_idx[:, None] + offs[None, :], 0,
+                         maps.shape[1] - 1)
+        return maps[pair_idx[:, None], cells, r_idx[:, None]]
     if axis == "r":
         cells = jnp.clip(r_idx[:, None] + offs[None, :], 0,
                          maps.shape[1] - 1)
@@ -81,13 +89,18 @@ def estimate_parameters(dets: Detections, pair_maps: jnp.ndarray,
                         rdm: jnp.ndarray, precomp_dev,
                         extra_dots: int, r_times: int, v_times: int,
                         monopulse_complex: bool = False,
-                        layout: str = "vgb") -> ParamDetections:
+                        layout: str = "vgb",
+                        maps_layout: str | None = None) -> ParamDetections:
     """dets: CFAR output; pair_maps: [V,G,pairs] real sum maps; rdm:
     [V,G,beams] complex; precomp_dev: DevicePrecomputed arrays.
 
     ``layout="bvg"`` (beams-major tail): pair_maps are [pairs,G,V] and rdm
-    is [beams,V,G]; identical arithmetic, permuted gathers."""
-    maps_layout = "qgv" if layout == "bvg" else "vgq"
+    is [beams,V,G]; identical arithmetic, permuted gathers. An explicit
+    ``maps_layout`` ("vgq"/"qgv"/"qvg") overrides the default pairing —
+    the fused-kernel map path (cfg.kernel_maps) uses rdm "bvg" with maps
+    "qvg"."""
+    if maps_layout is None:
+        maps_layout = "qgv" if layout == "bvg" else "vgq"
     # consts may arrive as host numpy (embedded as XLA constants at trace
     # time); coerce so tracer-indexed gathers work
     rx = jnp.asarray(precomp_dev.range_axis)

@@ -99,11 +99,14 @@ def goca_cfar_2d(maps: jnp.ndarray, params: CfarParams,
     """Detection mask and threshold map for pair-sum maps.
 
     ``layout="vgq"``: maps are [V, G, pairs] (default). ``layout="qgv"``:
-    maps are [pairs, G, V] (the beams-major tail). Returns (mask bool,
-    threshold), in the input layout; border cells are always False in the
-    mask (threshold map holds garbage there).
+    maps are [pairs, G, V] (the beams-major tail). ``layout="qvg"``:
+    maps are [pairs, V, G] (the fused kernel's native map output,
+    cfg.kernel_maps). Returns (mask bool, threshold), in the input
+    layout; border cells are always False in the mask (threshold map
+    holds garbage there).
     """
-    r_axis, v_axis = (1, 0) if layout == "vgq" else (1, 2)
+    r_axis, v_axis = {"vgq": (1, 0), "qgv": (1, 2),
+                      "qvg": (2, 1)}[layout]
     lead_r, trail_r = lead_trail_means(maps, params.guard_cells_r,
                                        params.ref_cells_r, axis=r_axis)
     noise_r = _combine(lead_r, trail_r, params.method)
@@ -122,8 +125,10 @@ def goca_cfar_2d(maps: jnp.ndarray, params: CfarParams,
                                               < num_v - border_v)
     if layout == "vgq":
         valid = v_ok[:, None, None] & r_ok[None, :, None]
-    else:
+    elif layout == "qgv":
         valid = r_ok[None, :, None] & v_ok[None, None, :]
+    else:
+        valid = v_ok[None, :, None] & r_ok[None, None, :]
     mask = (maps > threshold) & valid
     return mask, threshold
 
@@ -198,14 +203,23 @@ def extract_detections(mask: jnp.ndarray, maps: jnp.ndarray,
     afterwards — identical output whenever the true count fits the capacity
     (beyond capacity the two variants keep a different — equally arbitrary —
     subset; the reference has no capacity at all)."""
-    if layout == "qgv":
-        num_q, num_r, num_v = mask.shape
-        safe, valid = first_k_true_indices(mask.ravel(), capacity)
+    if layout in ("qgv", "qvg"):
+        if layout == "qvg":
+            # fused-kernel map layout [pairs, V, G]: only the bool mask is
+            # relaid to (pair, range, velocity)-major scan order (XLA fuses
+            # the 13.6M-bool transpose into the producing elementwise
+            # graph, see the beams-major-tail study); maps stay qvg
+            num_q, num_v, num_r = mask.shape
+            flat = jnp.transpose(mask, (0, 2, 1)).ravel()
+        else:
+            num_q, num_r, num_v = mask.shape
+            flat = mask.ravel()
+        safe, valid = first_k_true_indices(flat, capacity)
         pair = safe // (num_r * num_v)
         rem = safe % (num_r * num_v)
         r = rem // num_v
         v = rem % num_v
-        amp = maps[pair, r, v]
+        amp = maps[pair, v, r] if layout == "qvg" else maps[pair, r, v]
         zero = jnp.zeros((), maps.dtype)
         return Detections(
             v_idx=jnp.where(valid, v, 0).astype(jnp.int32),

@@ -305,6 +305,7 @@ def _make_kernel_gen_rolling(p_pad: int, v_pad: int, window: int,
                              a_scale: float, mul_dtype,
                              out_dtype=jnp.float32,
                              num_k: int = 0,
+                             emit_maps: bool = False,
                              _static_slots: bool = False):
     """Rolling-chunk variant of ``_make_kernel_gen`` (all beams per step):
     consecutive gate tiles share ``window - tile`` samples, so each step
@@ -328,11 +329,20 @@ def _make_kernel_gen_rolling(p_pad: int, v_pad: int, window: int,
     nchunks = window // 128
     stride = tile // 128
 
+    assert not (emit_maps and not num_k), \
+        "emit_maps is implemented on the signal-fused tail"
+
     def kernel(seed_ref, mpr_ref, mpi_ref, dr_ref, di_ref,
                lr_ref, li_ref, *rest):
+        mp_ref = None
         if num_k:
             (dvr_ref, dvi_ref, pbr_ref, pbi_ref, str_ref, sti_ref,
-             yr_ref, yi_ref, mtr_s, mti_s, xr_roll, xi_roll) = rest
+             *rest) = rest
+            if emit_maps:
+                yr_ref, yi_ref, mp_ref, mtr_s, mti_s, xr_roll, \
+                    xi_roll = rest
+            else:
+                yr_ref, yi_ref, mtr_s, mti_s, xr_roll, xi_roll = rest
         else:
             yr_ref, yi_ref, mtr_s, mti_s, xr_roll, xi_roll = rest
         t = pl.program_id(0)
@@ -393,6 +403,7 @@ def _make_kernel_gen_rolling(p_pad: int, v_pad: int, window: int,
                            dvr * pbi + dvi * pbr))
         # static per-beam ref writes (no scatter): out[b] = mix[b] +
         # sum_k steer[k,b] * outer_k
+        mags = []
         for b in range(num_b):
             accr = yrv[b]
             acci = yiv[b]
@@ -403,6 +414,15 @@ def _make_kernel_gen_rolling(p_pad: int, v_pad: int, window: int,
                 acci = acci + (sr * ai + si * ar)
             yr_ref[b] = accr.astype(out_dtype)
             yi_ref[b] = acci.astype(out_dtype)
+            if emit_maps:
+                mags.append(jnp.sqrt(accr * accr + acci * acci))
+        if emit_maps:
+            # adjacent-beam sum maps straight from the resident f32 tiles
+            # (the pair_sum_maps pass and its full-cube read disappear);
+            # sqrt(re^2+im^2) vs jnp.abs(complex): ULP-level only at these
+            # magnitudes
+            for p in range(num_b - 1):
+                mp_ref[p] = (mags[p] + mags[p + 1]).astype(jnp.float32)
 
     return kernel
 
@@ -764,7 +784,8 @@ def noise_rdm_pallas_gen(seed, plan: RdmPlan, l_factor,
                          beams_per_step: int = 1,
                          rolling: bool = False,
                          signal=None,
-                         _static_slots: bool = False) -> jnp.ndarray:
+                         emit_maps: bool = False,
+                         _static_slots: bool = False):
     """Fused PC+MTD+mix kernel with IN-KERNEL white-noise generation: the
     hardware PRNG draws each step's [p_pad, window] uniform window on-core
     (``_make_kernel_gen``), so no white cube ever exists in HBM — the zgen
@@ -787,7 +808,12 @@ def noise_rdm_pallas_gen(seed, plan: RdmPlan, l_factor,
     (complex, traced) fuses the rank-K closed-form SIGNAL RDM into the
     kernel's mix tail (requires ``rolling``): the returned cube is the
     COMPLETE RDM — no separate signal einsum or add. Use f32 out_dtype so
-    the signal is not bf16-quantized (monopulse precision)."""
+    the signal is not bf16-quantized (monopulse precision).
+
+    ``emit_maps`` (requires ``signal``) additionally writes the adjacent-
+    beam SUM MAPS from the resident f32 tiles and returns
+    ``(rdm, maps [pairs, V, G] f32)`` — the downstream pair_sum_maps pass
+    and its full-cube read disappear (cfg.kernel_maps)."""
     num_b = l_factor.shape[0]
     l_np = np.asarray(l_factor)
     lr = jnp.asarray(l_np.real, jnp.float32)
@@ -795,6 +821,8 @@ def noise_rdm_pallas_gen(seed, plan: RdmPlan, l_factor,
     const_spec = lambda shp: pl.BlockSpec(shp, lambda t, b: (0, 0),
                                           memory_space=pltpu.VMEM)
     num_k = 0
+    if emit_maps:
+        assert signal is not None, "emit_maps requires the fused signal"
     if signal is not None:
         assert rolling, "signal fusion is implemented on the rolling kernel"
         dop_v, pc_base, steer = signal
@@ -812,6 +840,7 @@ def noise_rdm_pallas_gen(seed, plan: RdmPlan, l_factor,
                                                     (0, 0)))
     g0 = 0
     pieces = []
+    map_pieces = []
     for si, seg in enumerate(plan.segments):
         ntiles = -(-seg.j_len // seg.tile)
         jpad = ntiles * seg.tile
@@ -821,7 +850,8 @@ def noise_rdm_pallas_gen(seed, plan: RdmPlan, l_factor,
             kernel = _make_kernel_gen_rolling(
                 plan.p_pad, plan.v_pad, seg.window, num_b, seg.tile,
                 seg.pad_front, float(a_scale), mul_dtype, out_dtype,
-                num_k=num_k, _static_slots=_static_slots)
+                num_k=num_k, emit_maps=emit_maps,
+                _static_slots=_static_slots)
             nb_steps = 1
             roll_scratch = [
                 pltpu.VMEM((num_b, nch, plan.p_pad, 128), mul_dtype),
@@ -854,7 +884,14 @@ def noise_rdm_pallas_gen(seed, plan: RdmPlan, l_factor,
         h = (si * -1640531527) & 0xFFFFFFFF   # static int32 wraparound
         seeds = jnp.asarray(seed, jnp.int32).reshape(2).at[0].add(
             np.int32(h - (1 << 32) if h >= (1 << 31) else h))
-        yr, yi = pl.pallas_call(
+        maps_specs, maps_shapes = [], []
+        if emit_maps:
+            maps_specs = [pl.BlockSpec((num_b - 1, plan.v_pad, seg.tile),
+                                       lambda t, b: (0, 0, t),
+                                       memory_space=pltpu.VMEM)]
+            maps_shapes = [jax.ShapeDtypeStruct(
+                (num_b - 1, plan.v_pad, jpad), jnp.float32)]
+        outs = pl.pallas_call(
             kernel,
             # beams innermost: out block accumulates across beam steps
             grid=(ntiles, nb_steps),
@@ -874,11 +911,11 @@ def noise_rdm_pallas_gen(seed, plan: RdmPlan, l_factor,
                 pl.BlockSpec((num_b, plan.v_pad, seg.tile),
                              lambda t, b: (0, 0, t),
                              memory_space=pltpu.VMEM),
-            ],
+            ] + maps_specs,
             out_shape=[
                 jax.ShapeDtypeStruct((num_b, plan.v_pad, jpad), out_dtype),
                 jax.ShapeDtypeStruct((num_b, plan.v_pad, jpad), out_dtype),
-            ],
+            ] + maps_shapes,
             scratch_shapes=[
                 pltpu.VMEM((num_b, plan.v_pad, seg.tile), mul_dtype),
                 pltpu.VMEM((num_b, plan.v_pad, seg.tile), mul_dtype),
@@ -890,14 +927,19 @@ def noise_rdm_pallas_gen(seed, plan: RdmPlan, l_factor,
           jnp.asarray(seg.mpi, mul_dtype),
           jnp.asarray(plan.dr, mul_dtype), jnp.asarray(plan.di, mul_dtype),
           lr.astype(mul_dtype), li.astype(mul_dtype), *sig_inputs)
+        yr, yi = outs[0], outs[1]
+        if emit_maps:
+            map_pieces.append(outs[2][:, :plan.n_dop, :seg.j_len])
         pieces.append(jax.lax.complex(
             yr[:, :plan.n_dop, :seg.j_len].astype(jnp.float32),
             yi[:, :plan.n_dop, :seg.j_len].astype(jnp.float32)))
         g0 += seg.j_len
     bm = jnp.concatenate(pieces, axis=2)          # [B, V, G]
-    if layout == "bvg":
-        return bm.astype(jnp.complex64)
-    return jnp.transpose(bm, (1, 2, 0)).astype(jnp.complex64)
+    rdm = (bm.astype(jnp.complex64) if layout == "bvg"
+           else jnp.transpose(bm, (1, 2, 0)).astype(jnp.complex64))
+    if emit_maps:
+        return rdm, jnp.concatenate(map_pieces, axis=2)  # maps [Q, V, G]
+    return rdm
 
 
 def gen_noise_planes_pallas(seed, plan: RdmPlan, num_b: int,

@@ -137,7 +137,34 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
     bm_tail = (cfg.beams_major_tail and lowrank
                and cfg.noise_rdm_impl in ("pallas", "pallas_prng"))
 
+    km = (cfg.kernel_maps and lowrank
+          and cfg.noise_rdm_impl == "pallas_prng")
+
     def process(key, targets: TargetBatch):
+        if lowrank and km and lr.noise_rdm_sig is not None:
+            # kernel-maps tail: the fused kernel returns BOTH the complete
+            # [B, V, G] RDM and the [pairs, V, G] sum maps computed from
+            # its resident f32 tiles — pair_sum_maps and its full-cube
+            # read disappear; only the bool mask is relaid to the
+            # reference (pair, range, velocity) scan order
+            interp = jax.default_backend() == "cpu"
+            rdm_bm, maps_qvg = lr.noise_rdm_sig(
+                key, targets, interpret=interp, layout="bvg",
+                emit_maps=True)
+            mask, _ = goca_cfar_2d(maps_qvg, cfg.cfar, layout="qvg")
+            dets = extract_detections(mask, maps_qvg,
+                                      cfg.cfar.max_detections,
+                                      layout="qvg")
+            params = estimate_parameters(
+                dets, maps_qvg, rdm_bm, mc, ip.extra_dots,
+                ip.r_interp_times, ip.v_interp_times,
+                monopulse_complex=cfg.monopulse_complex, layout="bvg",
+                maps_layout="qvg")
+            s1 = cluster_stage1(params, cfg.cluster)
+            final = cluster_stage2(s1, cfg.cluster)
+            return FrameResult(targets=final,
+                               num_raw_detections=dets.count,
+                               num_final=final.count.astype(jnp.int32))
         if lowrank:
             # rank-K deterministic RDM + post-MTD noise mixing: PC contracts
             # fast time, MTD slow time, the Cholesky mix beams — disjoint

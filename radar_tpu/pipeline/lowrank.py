@@ -135,7 +135,8 @@ def make_lowrank_stages(cfg: RadarConfig, precomp, plan, mplan,
                 out_dtype=jnp.float32 if interpret else jnp.bfloat16,
                 layout=layout, rolling=True)
 
-        def noise_rdm_sig(key, targets, interpret=False, layout="vgb"):
+        def noise_rdm_sig(key, targets, interpret=False, layout="vgb",
+                          emit_maps=False):
             # COMPLETE RDM in one kernel pass: the rank-K signal factors
             # (tiny [K, *] arrays) fuse into the rolling kernel's mix tail
             # — the [V, G, B] signal-cube einsum and the signal+noise add
@@ -153,7 +154,7 @@ def make_lowrank_stages(cfg: RadarConfig, precomp, plan, mplan,
                 mul_dtype=jnp.float32 if interpret else jnp.bfloat16,
                 out_dtype=jnp.float32,
                 layout=layout, rolling=True,
-                signal=(dop_v, pc_base, steer_b))
+                signal=(dop_v, pc_base, steer_b), emit_maps=emit_maps)
 
         noise_planes = None
     elif (cfg.noise_rdm_impl == "pallas" and mplan is not None

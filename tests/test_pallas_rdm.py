@@ -312,3 +312,30 @@ def test_signal_fusion_matches_explicit_sig_plus_noise():
             fused = jnp.transpose(fused, (1, 2, 0))
         d = float(jnp.max(jnp.abs(fused - ref)))
         assert d < 1e-6 * scale, (layout, d, scale)
+
+
+def test_kernel_maps_tail_matches_default():
+    """cfg.kernel_maps (kernel-emitted sum maps + qvg detection tail) must
+    reproduce the default pair_sum_maps tail: same detections, parameters
+    to ULP-level map differences (sqrt(re^2+im^2) vs abs)."""
+    from radar_tpu.pipeline.frame import make_frame_processor
+    from radar_tpu.sim.scenario import TargetBatch
+
+    base = small_test_config().replace(fused_synth_dbf=True,
+                                       lowrank_rdm=True,
+                                       noise_dist="uniform",
+                                       noise_rdm_impl="pallas_prng")
+    tb = TargetBatch(*[jnp.asarray(x, jnp.float32) for x in
+                       TargetBatch.make([3000.0, 6000.0], [15.0, -8.0],
+                                        [10.0, 12.0], [20.0, 14.0])])
+    key = jax.random.PRNGKey(0)
+    r0 = make_frame_processor(base)(key, tb)
+    r1 = make_frame_processor(base.replace(kernel_maps=True))(key, tb)
+    assert int(r1.num_raw_detections) == int(r0.num_raw_detections)
+    assert int(r1.num_final) == int(r0.num_final)
+    n = int(r0.num_final)
+    assert n >= 1
+    for f in ("range_m", "velocity_ms", "angle_deg", "power"):
+        a = np.asarray(getattr(r0.targets, f))[:n]
+        b = np.asarray(getattr(r1.targets, f))[:n]
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-3)
