@@ -78,26 +78,37 @@ def main() -> None:
             ku, kn = jax.random.split(key)
             tb_i = tb._replace(range_m=tb.range_m + jax.random.uniform(
                 ku, tb.range_m.shape))
-            rdm_sig = lr.signal_rdm(tb_i)
-            if stage == "rdm_sig":
-                return jnp.sum(jnp.abs(rdm_sig))
-            if lr.noise_planes is not None:   # DMA-plane variant ("pallas")
-                xrs, xis = lr.noise_planes(kn)
-                if stage == "zgen":
-                    acc = jnp.sum(jnp.abs(rdm_sig))
-                    for x in xrs + xis:
-                        acc += jnp.sum(jnp.abs(x.astype(jnp.float32)))
-                    return acc
-                rdm_z = noise_rdm_pallas_planes(xrs, xis, rplan, l_np)
-            else:   # in-kernel PRNG variant ("pallas_prng"): no zgen stage
-                if stage == "zgen":
+            if lr.noise_rdm_sig is not None:
+                # shipped pallas_prng path: one kernel returns the COMPLETE
+                # RDM (signal fused into the mix tail) — rdm_sig/zgen/add
+                # are not separate stages
+                if stage in ("rdm_sig", "zgen"):
+                    return jnp.float32(0)
+                rdm = lr.noise_rdm_sig(kn, tb_i)
+                if stage in ("kernel", "add"):
+                    return jnp.sum(jnp.abs(rdm))
+            else:
+                rdm_sig = lr.signal_rdm(tb_i)
+                if stage == "rdm_sig":
                     return jnp.sum(jnp.abs(rdm_sig))
-                rdm_z = lr.noise_rdm(kn)
-            if stage == "kernel":
-                return jnp.sum(jnp.abs(rdm_sig)) + jnp.sum(jnp.abs(rdm_z))
-            rdm = rdm_sig + rdm_z
-            if stage == "add":
-                return jnp.sum(jnp.abs(rdm))
+                if lr.noise_planes is not None:   # DMA-plane variant
+                    xrs, xis = lr.noise_planes(kn)
+                    if stage == "zgen":
+                        acc = jnp.sum(jnp.abs(rdm_sig))
+                        for x in xrs + xis:
+                            acc += jnp.sum(jnp.abs(x.astype(jnp.float32)))
+                        return acc
+                    rdm_z = noise_rdm_pallas_planes(xrs, xis, rplan, l_np)
+                else:   # in-kernel PRNG without signal fusion
+                    if stage == "zgen":
+                        return jnp.sum(jnp.abs(rdm_sig))
+                    rdm_z = lr.noise_rdm(kn)
+                if stage == "kernel":
+                    return (jnp.sum(jnp.abs(rdm_sig))
+                            + jnp.sum(jnp.abs(rdm_z)))
+                rdm = rdm_sig + rdm_z
+                if stage == "add":
+                    return jnp.sum(jnp.abs(rdm))
             maps = pair_sum_maps(rdm)
             if stage == "pairsum":
                 return jnp.sum(maps)
