@@ -306,6 +306,7 @@ def _make_kernel_gen_rolling(p_pad: int, v_pad: int, window: int,
                              out_dtype=jnp.float32,
                              num_k: int = 0,
                              emit_maps: bool = False,
+                             stacked: bool = False,
                              _static_slots: bool = False):
     """Rolling-chunk variant of ``_make_kernel_gen`` (all beams per step):
     consecutive gate tiles share ``window - tile`` samples, so each step
@@ -334,6 +335,9 @@ def _make_kernel_gen_rolling(p_pad: int, v_pad: int, window: int,
 
     def kernel(seed_ref, mpr_ref, mpi_ref, dr_ref, di_ref,
                lr_ref, li_ref, *rest):
+        # ``stacked``: mpr_ref actually holds MP2=[mpr|mpi] ([W, 2T]) and
+        # dr_ref holds D2=[dr;di] ([2V, P]); mpi_ref/di_ref hold unused
+        # 1-element placeholders (the arg structure stays fixed)
         mp_ref = None
         if num_k:
             (dvr_ref, dvi_ref, pbr_ref, pbi_ref, str_ref, sti_ref,
@@ -368,7 +372,33 @@ def _make_kernel_gen_rolling(p_pad: int, v_pad: int, window: int,
             for k in range(stride):
                 draw_to(b, t * stride + jnp.int32(nchunks - stride + k))
 
+        p_real = p_pad
         for b in range(num_b):
+            if stacked:
+                # ONE [2P,128]x[128,2T] dot per chunk (re/im stacked on M
+                # and N), accumulated stacked; quadrants combine once per
+                # tile. Same MACs, ~4x fewer MXU issues.
+                acc = None
+                for i in range(nchunks):
+                    slot = (i if _static_slots else
+                            jax.lax.rem(t * stride + jnp.int32(i),
+                                        jnp.int32(nchunks)))
+                    x2 = jnp.concatenate([xr_roll[b, slot],
+                                          xi_roll[b, slot]], axis=0)
+                    mp2 = mpr_ref[i * 128:(i + 1) * 128, :]
+                    d = jnp.dot(x2, mp2, preferred_element_type=f32)
+                    acc = d if acc is None else acc + d
+                tl = acc.shape[-1] // 2
+                pcr = acc[:p_real, :tl] - acc[p_real:, tl:]
+                pci = acc[:p_real, tl:] + acc[p_real:, :tl]
+                pc2 = jnp.concatenate([pcr.astype(mul_dtype),
+                                       pci.astype(mul_dtype)], axis=1)
+                r2 = jnp.dot(dr_ref[:], pc2, preferred_element_type=f32)
+                mtr_s[b] = (r2[:v_pad, :tl] - r2[v_pad:, tl:]
+                            ).astype(mul_dtype)
+                mti_s[b] = (r2[:v_pad, tl:] + r2[v_pad:, :tl]
+                            ).astype(mul_dtype)
+                continue
             rr = ii = ri = ir = None
             for i in range(nchunks):
                 if _static_slots:   # timing ablation ONLY (wrong values):
@@ -785,6 +815,7 @@ def noise_rdm_pallas_gen(seed, plan: RdmPlan, l_factor,
                          rolling: bool = False,
                          signal=None,
                          emit_maps: bool = False,
+                         stacked: bool = False,
                          _static_slots: bool = False):
     """Fused PC+MTD+mix kernel with IN-KERNEL white-noise generation: the
     hardware PRNG draws each step's [p_pad, window] uniform window on-core
@@ -850,7 +881,7 @@ def noise_rdm_pallas_gen(seed, plan: RdmPlan, l_factor,
             kernel = _make_kernel_gen_rolling(
                 plan.p_pad, plan.v_pad, seg.window, num_b, seg.tile,
                 seg.pad_front, float(a_scale), mul_dtype, out_dtype,
-                num_k=num_k, emit_maps=emit_maps,
+                num_k=num_k, emit_maps=emit_maps, stacked=stacked,
                 _static_slots=_static_slots)
             nb_steps = 1
             roll_scratch = [
@@ -891,16 +922,36 @@ def noise_rdm_pallas_gen(seed, plan: RdmPlan, l_factor,
                                        memory_space=pltpu.VMEM)]
             maps_shapes = [jax.ShapeDtypeStruct(
                 (num_b - 1, plan.v_pad, jpad), jnp.float32)]
+        if stacked and rolling:
+            # MP2=[mpr|mpi], D2=[dr;di]; mpi/di slots hold placeholders
+            mat_inputs = (jnp.asarray(
+                              np.concatenate([seg.mpr, seg.mpi], axis=1),
+                              mul_dtype),
+                          jnp.zeros((8, 128), mul_dtype),
+                          jnp.asarray(
+                              np.concatenate([plan.dr, plan.di], axis=0),
+                              mul_dtype),
+                          jnp.zeros((8, 128), mul_dtype))
+            mat_specs = [const_spec((seg.window, 2 * seg.tile)),
+                         const_spec((8, 128)),
+                         const_spec((2 * plan.v_pad, plan.p_pad)),
+                         const_spec((8, 128))]
+        else:
+            mat_inputs = (jnp.asarray(seg.mpr, mul_dtype),
+                          jnp.asarray(seg.mpi, mul_dtype),
+                          jnp.asarray(plan.dr, mul_dtype),
+                          jnp.asarray(plan.di, mul_dtype))
+            mat_specs = [const_spec((seg.window, seg.tile)),
+                         const_spec((seg.window, seg.tile)),
+                         const_spec((plan.v_pad, plan.p_pad)),
+                         const_spec((plan.v_pad, plan.p_pad))]
         outs = pl.pallas_call(
             kernel,
             # beams innermost: out block accumulates across beam steps
             grid=(ntiles, nb_steps),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                const_spec((seg.window, seg.tile)),
-                const_spec((seg.window, seg.tile)),
-                const_spec((plan.v_pad, plan.p_pad)),
-                const_spec((plan.v_pad, plan.p_pad)),
+            ] + mat_specs + [
                 const_spec((num_b, num_b)),
                 const_spec((num_b, num_b)),
             ] + sig_specs,
@@ -923,9 +974,7 @@ def noise_rdm_pallas_gen(seed, plan: RdmPlan, l_factor,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=pltpu.InterpretParams() if interpret else False,
-        )(seeds, jnp.asarray(seg.mpr, mul_dtype),
-          jnp.asarray(seg.mpi, mul_dtype),
-          jnp.asarray(plan.dr, mul_dtype), jnp.asarray(plan.di, mul_dtype),
+        )(seeds, *mat_inputs,
           lr.astype(mul_dtype), li.astype(mul_dtype), *sig_inputs)
         yr, yi = outs[0], outs[1]
         if emit_maps:

@@ -39,8 +39,9 @@ def main():
         # "tile[:beams_per_step]" or "tile:roll" (rolling-chunk variant)
         tile_s, _, bps_s = spec.partition(":")
         tile = int(tile_s)
-        roll = bps_s in ("roll", "rolls")
+        roll = bps_s in ("roll", "rolls", "rollx")
         static = bps_s == "rolls"   # timing ablation (wrong values)
+        stacked = bps_s == "rollx"  # stacked re/im dots
         bps = 1 if roll else int(bps_s or 1)
         plan = make_rdm_plan(pre, mtd_mat, cfg.sig.prt_num, tile=tile,
                              lane=128)
@@ -50,7 +51,7 @@ def main():
                 y = noise_rdm_pallas_gen(
                     jnp.stack([seed + i, seed - i]), plan, l_np, a,
                     out_dtype=jnp.bfloat16, layout="bvg",
-                    beams_per_step=bps, rolling=roll,
+                    beams_per_step=bps, rolling=roll, stacked=stacked,
                     _static_slots=static)
                 return acc + jnp.sum(jnp.abs(y))
             return jax.lax.fori_loop(0, n, body, jnp.float32(0))
