@@ -1,0 +1,260 @@
+"""Real multi-process (2+ ``jax.distributed`` processes) validation of the
+multi-host path on one machine.
+
+This is the executable evidence for SURVEY.md section 4 ("multi-node without
+a cluster") and the BASELINE north star ("scaling measured at ... N>=2
+hosts"): the reference's only parallel boundary is a shared-nothing MATLAB
+``parfor`` trial loop (main_plot_snr_vs_angle_error.m:167); the TPU-native
+equivalent is a DCN-major mesh over multiple *processes*
+(parallel/multihost.py) with GSPMD collectives crossing the process
+boundary. Real multi-host TPU hardware is not required to exercise that
+logic: N local processes with the CPU backend (Gloo cross-process
+collectives) run the identical process-id / mesh-construction /
+batch-slicing / collective code paths.
+
+Orchestrator mode (default) spawns N worker processes of this same script,
+each pinned to K virtual CPU devices, wired together through a localhost
+coordinator via the standard JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+JAX_PROCESS_ID environment (exercising multihost.initialize()'s env
+resolution). Every worker independently asserts parity, so a non-zero exit
+from any worker fails the run.
+
+Each worker validates three things against a process-local single-device
+reference run (identical config, key, targets):
+
+  1. stream-path frame pipeline sharded over a dp(xproc) x ch mesh —
+     channel-sharded synthesis, psum DBF combine, pulses->gates all_to_all,
+     all crossing the process boundary on the dp axis;
+  2. lowrank perf-path frame pipeline over a dp(xproc) x cpi mesh;
+  3. a dp-sharded Monte-Carlo trial batch fed with
+     jax.make_array_from_process_local_data using
+     multihost.local_batch_slice — each process materializes ONLY its own
+     trials (the per-host batch-slicing contract).
+
+Run:  python scripts/run_multiprocess.py [--nproc 2] [--devices-per-proc 2]
+Artifact: results/multiprocess_parity.json (written by process 0).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# --------------------------------------------------------------------------
+# worker
+# --------------------------------------------------------------------------
+
+def worker_main(args) -> int:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from radar_tpu.parallel import multihost
+
+    # env-driven resolution path (JAX_COORDINATOR_ADDRESS etc.)
+    assert multihost.initialize() is True, "expected multi-process init"
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    k = jax.local_device_count()
+    assert nproc == args.nproc, (nproc, args.nproc)
+    assert len(jax.devices()) == nproc * k
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from radar_tpu.config.params import small_test_config
+    from radar_tpu.parallel.mesh import AXIS_DP
+    from radar_tpu.parallel.sharded import make_sharded_frame_processor
+    from radar_tpu.pipeline.frame import make_frame_processor
+    from radar_tpu.pipeline.montecarlo import make_trial_fn
+    from radar_tpu.sim.scenario import TargetBatch
+    from radar_tpu.waveform.precompute import precompute
+
+    def log(msg):
+        print(f"[proc {pid}] {msg}", flush=True)
+
+    local0 = jax.local_devices()[0]
+    cfg = small_test_config(channels=8, pulses=32)
+    pre = precompute(cfg)
+    tb = TargetBatch.make([3000.0, 9000.0], [10.0, 20.0], [10.0, 5.0],
+                          [18.0, 15.0])
+    with jax.default_device(local0):
+        key_np = np.asarray(jax.random.PRNGKey(0))
+
+    report = {"nproc": nproc, "devices_per_proc": k, "checks": []}
+
+    def frame_parity(name, cfg_v, mesh):
+        """Sharded-over-processes frame result == process-local result."""
+        pre_v = precompute(cfg_v)
+        with jax.default_device(local0):
+            ref = make_frame_processor(cfg_v, pre_v)(key_np, tb)
+            ref = jax.tree.map(np.asarray, ref)
+        repl = NamedSharding(mesh, P())
+        key_g = jax.device_put(key_np, repl)
+        tb_g = jax.tree.map(lambda x: jax.device_put(x, repl), tb)
+        proc = make_sharded_frame_processor(cfg_v, mesh, pre_v)
+        out = jax.jit(lambda a, b: proc(a, b), out_shardings=repl)(key_g,
+                                                                   tb_g)
+        out = jax.tree.map(np.asarray, out)
+        assert int(out.num_raw_detections) == int(ref.num_raw_detections), \
+            (name, int(out.num_raw_detections), int(ref.num_raw_detections))
+        assert int(out.num_final) == int(ref.num_final)
+        v = ref.targets.valid.astype(bool)
+        np.testing.assert_array_equal(v, out.targets.valid.astype(bool))
+        np.testing.assert_allclose(out.targets.range_m[v],
+                                   ref.targets.range_m[v], rtol=1e-4)
+        np.testing.assert_allclose(out.targets.velocity_ms[v],
+                                   ref.targets.velocity_ms[v], rtol=1e-3,
+                                   atol=1e-3)
+        np.testing.assert_allclose(out.targets.angle_deg[v],
+                                   ref.targets.angle_deg[v], rtol=1e-3,
+                                   atol=1e-3)
+        n_final = int(out.num_final)
+        log(f"{name}: PARITY OK ({n_final} final targets, "
+            f"{int(out.num_raw_detections)} raw detections)")
+        report["checks"].append({"name": name, "ok": True,
+                                 "mesh": dict(mesh.shape),
+                                 "num_final": n_final})
+
+    # 1) stream path, dp across processes x ch within: the dp axis of the
+    #    pulse sharding and the gates reshard both cross the process boundary
+    mesh_ch = multihost.make_multihost_mesh(dp=nproc, ch=k)
+    assert mesh_ch.shape[AXIS_DP] == nproc
+    frame_parity("stream_dpxch", cfg, mesh_ch)
+
+    # 2) lowrank perf path, dp across processes x cpi within
+    cfg_lr = cfg.replace(fused_synth_dbf=True, lowrank_rdm=True)
+    mesh_cpi = multihost.make_multihost_mesh(dp=nproc, cpi=k)
+    frame_parity("lowrank_dpxcpi", cfg_lr, mesh_cpi)
+
+    # 3) dp-sharded Monte-Carlo trials: each process feeds ONLY its slice of
+    #    the global trial batch (make_array_from_process_local_data +
+    #    local_batch_slice), the parfor-boundary analog (ref :167)
+    n_trials = 2 * nproc * k
+    mesh_dp = multihost.make_multihost_mesh(dp=nproc * k)
+    with jax.default_device(local0):
+        keys_np = np.asarray(
+            jax.vmap(jax.random.fold_in, (None, 0))(
+                jax.random.PRNGKey(7), jnp.arange(n_trials)))
+    sl = multihost.local_batch_slice(n_trials, mesh_dp)
+    expect = slice(pid * (n_trials // nproc), (pid + 1) * (n_trials // nproc))
+    assert sl == expect, (sl, expect)
+    sh = NamedSharding(mesh_dp, P(AXIS_DP))
+    keys_g = jax.make_array_from_process_local_data(sh, keys_np[sl],
+                                                    keys_np.shape)
+    repl = NamedSharding(mesh_dp, P())
+    tb_g = jax.tree.map(lambda x: jax.device_put(x, repl), tb)
+    trial_fn = make_trial_fn(cfg, pre)
+    angles, hits = jax.jit(lambda t, ks: trial_fn(t, ks),
+                           out_shardings=repl)(tb_g, keys_g)
+    angles, hits = np.asarray(angles), np.asarray(hits)
+    with jax.default_device(local0):
+        a_ref, h_ref = jax.tree.map(np.asarray, trial_fn(tb, keys_np))
+    np.testing.assert_array_equal(hits, h_ref)
+    np.testing.assert_allclose(angles, a_ref, rtol=1e-4, atol=1e-5,
+                               equal_nan=True)
+    log(f"trials_dp: PARITY OK ({n_trials} trials, local slice {sl.start}:"
+        f"{sl.stop}, Pd={float(np.mean(hits)):.2f})")
+    report["checks"].append({"name": "trials_dp", "ok": True,
+                             "n_trials": n_trials,
+                             "local_slice": [sl.start, sl.stop]})
+
+    if pid == 0 and args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+        log(f"wrote {args.out}")
+    log("ALL PARITY CHECKS PASSED")
+    return 0
+
+
+# --------------------------------------------------------------------------
+# orchestrator
+# --------------------------------------------------------------------------
+
+def orchestrate(args) -> int:
+    port = _free_port()
+    procs, logs = [], []
+    for pid in range(args.nproc):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = [f for f in env.get("XLA_FLAGS", "").split()
+                 if "xla_force_host_platform_device_count" not in f]
+        flags.append("--xla_force_host_platform_device_count="
+                     f"{args.devices_per_proc}")
+        env["XLA_FLAGS"] = " ".join(flags)
+        env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+        env["JAX_NUM_PROCESSES"] = str(args.nproc)
+        env["JAX_PROCESS_ID"] = str(pid)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+               "--nproc", str(args.nproc),
+               "--devices-per-proc", str(args.devices_per_proc)]
+        if pid == 0 and args.out:
+            cmd += ["--out", args.out]
+        lf = open(f"{args.logdir}/mp_worker_{pid}.log", "w")
+        logs.append(lf)
+        procs.append(subprocess.Popen(cmd, env=env, stdout=lf,
+                                      stderr=subprocess.STDOUT, cwd=REPO))
+    deadline = time.time() + args.timeout
+    rcs = [None] * args.nproc
+    try:
+        while time.time() < deadline and any(r is None for r in rcs):
+            for i, p in enumerate(procs):
+                if rcs[i] is None:
+                    rcs[i] = p.poll()
+            time.sleep(0.5)
+    finally:
+        for i, p in enumerate(procs):
+            if rcs[i] is None:            # timed out: kill exact PIDs we own
+                p.kill()
+                rcs[i] = -9
+        for lf in logs:
+            lf.close()
+    ok = all(r == 0 for r in rcs)
+    for pid in range(args.nproc):
+        path = f"{args.logdir}/mp_worker_{pid}.log"
+        if not ok:
+            print(f"----- worker {pid} (rc={rcs[pid]}) -----")
+            sys.stdout.write(open(path).read())
+        else:
+            for line in open(path):
+                if "PARITY" in line:
+                    sys.stdout.write(line)
+    print(json.dumps({"multiprocess_parity": ok, "nproc": args.nproc,
+                      "devices_per_proc": args.devices_per_proc,
+                      "rcs": rcs}))
+    return 0 if ok else 1
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--nproc", type=int, default=2)
+    ap.add_argument("--devices-per-proc", type=int, default=2)
+    ap.add_argument("--timeout", type=float, default=600.0)
+    ap.add_argument("--logdir", default="/tmp")
+    ap.add_argument("--out", default=os.path.join(REPO, "results",
+                                                  "multiprocess_parity.json"))
+    args = ap.parse_args()
+    if args.worker:
+        sys.exit(worker_main(args))
+    sys.exit(orchestrate(args))
+
+
+if __name__ == "__main__":
+    main()
