@@ -96,6 +96,7 @@ def test_read_bin_frames_split(tmp_path):
         binio.read_bin_frames(path, prt_per_frame=3, use_native=False)
 
 
+@pytest.mark.slow
 def test_frame_pipeline_from_bin(tmp_path):
     """End-to-end: synthesize a frame, persist as .bin, reload, and run the
     rest of the pipeline on the quantized cube — same detection as the

@@ -130,6 +130,7 @@ from hypothesis import strategies as st  # noqa: E402
 
 @settings(max_examples=40, deadline=None)
 @given(st.data())
+@pytest.mark.slow
 def test_first_k_true_property(data):
     """For ANY boolean vector, first_k_true_indices returns exactly the
     first min(count, capacity) true positions in ascending order."""

@@ -61,6 +61,7 @@ from hypothesis import strategies as st  # noqa: E402
 
 @settings(max_examples=40, deadline=None)
 @given(st.data())
+@pytest.mark.slow
 def test_connected_labels_property(data):
     """For ANY point set + gates + validity mask, label propagation yields
     exactly the BFS partition, invalid slots get label n, and every valid

@@ -7,6 +7,8 @@ comparisons are exact."""
 
 from __future__ import annotations
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -111,6 +113,7 @@ def test_pad_garbage_is_invisible():
     np.testing.assert_array_equal(clean, dirty)
 
 
+@pytest.mark.slow
 def test_uniform_noise_dist_moments_and_gaussianity():
     """noise_dist='uniform' feeds unit-variance uniform rails into the
     fused kernel. The RDM second moments depend only on the input
@@ -171,6 +174,7 @@ def test_direct_generation_pipeline_detects_truth():
     assert np.min(np.abs(r - 3000.0)) < 2 * pre.delta_r
 
 
+@pytest.mark.slow
 def test_beams_major_tail_matches_reference_layout():
     """cfg.beams_major_tail keeps the RDM in the kernel's [B,V,G] layout and
     the maps/mask in [pairs,G,V]; detections and refined parameters must be
@@ -225,6 +229,7 @@ def test_gen_kernel_matches_dma_kernel_on_exported_planes():
     np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
 
 
+@pytest.mark.slow
 def test_gen_pipeline_detects_truth():
     """noise_rdm_impl='pallas_prng' wires through the frame processor and
     still finds the truth target (interpreter PRNG on CPU)."""
@@ -259,6 +264,7 @@ def test_gen_requires_uniform_rails():
         make_frame_processor(cfg)
 
 
+@pytest.mark.slow
 def test_gen_rolling_matches_per_step_generator():
     """Rolling-chunk all-beams kernel vs the per-step generator: SAME
     chunk-keyed draws, PC dot decomposed into per-chunk partial dots —
@@ -282,6 +288,7 @@ def test_gen_rolling_matches_per_step_generator():
                                atol=1e-5 * scale)
 
 
+@pytest.mark.slow
 def test_signal_fusion_matches_explicit_sig_plus_noise():
     """The rank-K signal fused into the rolling kernel's mix tail
     (lr.noise_rdm_sig) must reproduce signal_rdm + noise_rdm with the
@@ -314,6 +321,7 @@ def test_signal_fusion_matches_explicit_sig_plus_noise():
         assert d < 1e-6 * scale, (layout, d, scale)
 
 
+@pytest.mark.slow
 def test_kernel_maps_tail_matches_default():
     """cfg.kernel_maps (kernel-emitted sum maps + qvg detection tail) must
     reproduce the default pair_sum_maps tail: same detections, parameters

@@ -1,6 +1,8 @@
 """Multi-frame driver, kinematics, track association and Monte-Carlo
 behavior (SURVEY.md sections 3.1/3.3, 4.3)."""
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -79,6 +81,7 @@ def test_track_association_splits_far_targets():
     assert len(tracks_without_association(log)) == 4
 
 
+@pytest.mark.slow
 def test_monte_carlo_sweep_small():
     cfg = small_test_config(channels=8, pulses=32)
     pre = precompute(cfg)
@@ -122,6 +125,7 @@ def test_device_multiframe_matches_host_loop():
     assert len(tracks_d) == len(tracks_h)
 
 
+@pytest.mark.slow
 def test_monte_carlo_sweep_lowrank_matches_default():
     """Perf-config trial fn (lowrank + compact noise) reproduces the default
     path's Pd ladder on the same scene (different random streams, same

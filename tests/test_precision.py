@@ -3,6 +3,8 @@ numeric error bounds vs the f32 path and end-to-end detection equivalence.
 The statistical acceptance evidence (Pd/sigma sweep parity with f32) lives
 in results/bf16_matmul.json."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,6 +38,7 @@ def test_einsum_complex_bf16_error_bound():
     assert rel2 < 0.02
 
 
+@pytest.mark.slow
 def test_mtd_and_pc_bf16_close_to_f32():
     cfg = small_test_config(channels=8, pulses=32)
     pre = precompute(cfg)

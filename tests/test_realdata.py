@@ -2,6 +2,8 @@
 band), the staged pipeline reconstruction, and checkpoint persistence
 (SURVEY.md sections 2.1/2.4/3.6/5.4)."""
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,6 +53,7 @@ def test_zero_velocity_mask_band():
     assert m[: center - 3].all() and m[center + 4:].all()
 
 
+@pytest.mark.slow
 def test_segmented_cfar_full_chain():
     cfg = RadarConfig()
     sig = cfg.sig
@@ -78,6 +81,7 @@ def test_segmented_cfar_full_chain():
     assert flags.mean() < 1e-3
 
 
+@pytest.mark.slow
 def test_realdata_staged_pipeline_end_to_end():
     """Inject targets into gated 3404-sample IQ; the reconstructed stage
     2->3->4 chain must recover range/velocity within cell tolerances."""
@@ -253,6 +257,7 @@ def test_stage2_windowed_divisibility_check():
         stage2_mtd_windowed(f1, f2, cfg, win_size=5)
 
 
+@pytest.mark.slow
 def test_realdata_pipeline_windowed_end_to_end():
     """Each window slice of the two-frame chain detects a persistent
     target at the same gate."""

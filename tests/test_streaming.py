@@ -1,5 +1,7 @@
 """Streaming Monte-Carlo (BASELINE config 5) and profiling utilities."""
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,6 +38,7 @@ def test_streaming_mc_single_device():
     assert stats.velocity_rmse_ms < 3.0
 
 
+@pytest.mark.slow
 def test_streaming_mc_sharded_matches_single():
     cfg = small_test_config(channels=8, pulses=32)
     pre = precompute(cfg)

@@ -2,6 +2,8 @@
 inside the pipeline, measurement sub-cell precision (SURVEY.md section 7.4
 "Reference ambiguity": the framework exposes variants explicitly)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,6 +37,7 @@ def test_mtd_512_pad_variant_e2e():
     assert abs(v[i] - 10.0) < 3.0
 
 
+@pytest.mark.slow
 def test_monopulse_complex_variant_e2e():
     """v7_6 complex-ratio monopulse (main_plot_snr_vs_angle_error.m:455-458)
     needs phase-aligned beams — run it on the measured 16-channel bank, the
