@@ -94,17 +94,14 @@ def pair_sum_maps_bm(rdm_bm: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(mag[:-1] + mag[1:], (0, 2, 1))
 
 
-def goca_cfar_2d(maps: jnp.ndarray, params: CfarParams,
-                 layout: str = "vgq") -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Detection mask and threshold map for pair-sum maps.
-
-    ``layout="vgq"``: maps are [V, G, pairs] (default). ``layout="qgv"``:
-    maps are [pairs, G, V] (the beams-major tail). ``layout="qvg"``:
-    maps are [pairs, V, G] (the fused kernel's native map output,
-    cfg.kernel_maps). Returns (mask bool, threshold), in the input
-    layout; border cells are always False in the mask (threshold map
-    holds garbage there).
-    """
+def goca_noise_and_valid(maps: jnp.ndarray, params: CfarParams,
+                         layout: str = "vgq") -> tuple[jnp.ndarray,
+                                                       jnp.ndarray]:
+    """The 2D cross noise estimate max(noise_R, noise_V) and the
+    border-validity mask (True = testable cell), before the threshold
+    factor is applied. Exposed separately so Pfa calibration
+    (ops/cfar_analysis.py) can sweep threshold factors over one noise
+    computation."""
     r_axis, v_axis = {"vgq": (1, 0), "qgv": (1, 2),
                       "qvg": (2, 1)}[layout]
     lead_r, trail_r = lead_trail_means(maps, params.guard_cells_r,
@@ -114,7 +111,6 @@ def goca_cfar_2d(maps: jnp.ndarray, params: CfarParams,
                                        params.ref_cells_v, axis=v_axis)
     noise_v = _combine(lead_v, trail_v, params.method)
     noise = jnp.maximum(noise_r, noise_v)
-    threshold = params.threshold_factor * noise
 
     num_v, num_r = maps.shape[v_axis], maps.shape[r_axis]
     border_r = params.ref_cells_r + params.guard_cells_r
@@ -129,6 +125,22 @@ def goca_cfar_2d(maps: jnp.ndarray, params: CfarParams,
         valid = r_ok[None, :, None] & v_ok[None, None, :]
     else:
         valid = v_ok[None, :, None] & r_ok[None, None, :]
+    return noise, valid
+
+
+def goca_cfar_2d(maps: jnp.ndarray, params: CfarParams,
+                 layout: str = "vgq") -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Detection mask and threshold map for pair-sum maps.
+
+    ``layout="vgq"``: maps are [V, G, pairs] (default). ``layout="qgv"``:
+    maps are [pairs, G, V] (the beams-major tail). ``layout="qvg"``:
+    maps are [pairs, V, G] (the fused kernel's native map output,
+    cfg.kernel_maps). Returns (mask bool, threshold), in the input
+    layout; border cells are always False in the mask (threshold map
+    holds garbage there).
+    """
+    noise, valid = goca_noise_and_valid(maps, params, layout)
+    threshold = params.threshold_factor * noise
     mask = (maps > threshold) & valid
     return mask, threshold
 

@@ -29,10 +29,12 @@ from ..config.params import Cfar1DParams
 from .cfar import _shifted
 
 
-def _segment_cfar_1d(x: jnp.ndarray, guard: int, ref: int, t_cfar: float,
-                     method: str, axis: int = 1) -> tuple[jnp.ndarray,
-                                                          jnp.ndarray]:
-    """1D CFAR along ``axis`` of one segment; returns (flags, threshold)."""
+def _segment_noise_1d(x: jnp.ndarray, guard: int, ref: int, method: str,
+                      axis: int = 1) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Edge-fallback 1D CFAR noise estimate along ``axis`` plus the
+    interior mask (True where BOTH windows are fully in range, i.e. no
+    fallback happened). Exposed for Pfa calibration
+    (ops/cfar_analysis.py)."""
     lead = jnp.zeros_like(x)
     trail = jnp.zeros_like(x)
     for k in range(guard + 1, guard + ref + 1):
@@ -61,6 +63,14 @@ def _segment_cfar_1d(x: jnp.ndarray, guard: int, ref: int, t_cfar: float,
         noise = 0.5 * (ref_l + ref_r)
     else:
         raise ValueError(f"unknown 1D CFAR method: {method}")
+    return noise, jnp.broadcast_to(left_ok & right_ok, x.shape)
+
+
+def _segment_cfar_1d(x: jnp.ndarray, guard: int, ref: int, t_cfar: float,
+                     method: str, axis: int = 1) -> tuple[jnp.ndarray,
+                                                          jnp.ndarray]:
+    """1D CFAR along ``axis`` of one segment; returns (flags, threshold)."""
+    noise, _ = _segment_noise_1d(x, guard, ref, method, axis)
     threshold = t_cfar * noise
     return x >= threshold, threshold
 
