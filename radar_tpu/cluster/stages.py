@@ -27,17 +27,39 @@ from .connected import (connected_labels, gate_adjacency, merge_weighted_mean,
 
 class ClusteredTargets(NamedTuple):
     """Per-slot clustered target list; ``valid`` marks live slots (cluster
-    representatives)."""
+    representatives). ``pair_idx`` is None on the v8 path; the v7_7
+    variant (ClusterParams.keep_pair_mode) carries the modal member
+    PairIndex (stage 1, _v7_7.m:766) / the winner's (stage 2)."""
 
     range_m: jnp.ndarray
     velocity_ms: jnp.ndarray
     angle_deg: jnp.ndarray
     power: jnp.ndarray
     valid: jnp.ndarray
+    pair_idx: jnp.ndarray | None = None
 
     @property
     def count(self):
         return jnp.sum(self.valid)
+
+
+def _modal_pair_idx(labels: jnp.ndarray, valid: jnp.ndarray,
+                    pair_idx: jnp.ndarray) -> jnp.ndarray:
+    """Per-cluster mode of the member pair indices, at representative
+    slots (mode([detections_in_cluster.PairIndex]), _v7_7.m:766). MATLAB
+    ``mode`` tie-breaks to the SMALLEST value; reproduced by scoring each
+    member by (its pair's member count, then -pair value) and taking the
+    argmax over members — fixed [cap, cap] shapes, no histogram width."""
+    n = labels.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    member = (labels[None, :] == idx[:, None]) & valid[None, :]  # [n, n]
+    same_pair = (pair_idx[None, :] == pair_idx[:, None]).astype(jnp.float32)
+    # counts[i, j] = members of cluster i sharing member j's pair index
+    counts = member.astype(jnp.float32) @ same_pair            # [n, n]
+    score = jnp.where(member, counts * 4096.0
+                      - pair_idx[None, :].astype(jnp.float32), -1.0)
+    best = jnp.argmax(score, axis=1)
+    return pair_idx[best].astype(jnp.int32)
 
 
 def cluster_stage1(dets: ParamDetections,
@@ -53,9 +75,15 @@ def cluster_stage1(dets: ParamDetections,
          "angle_deg": dets.angle_deg})
     zero = jnp.zeros((), dets.power.dtype)
     w = lambda x: jnp.where(rep_valid, x, zero)
+    pair_mode = None
+    if params.keep_pair_mode:
+        pair_mode = jnp.where(rep_valid,
+                              _modal_pair_idx(labels, dets.valid,
+                                              dets.pair_idx), 0)
     return ClusteredTargets(
         range_m=w(merged["range_m"]), velocity_ms=w(merged["velocity_ms"]),
-        angle_deg=w(merged["angle_deg"]), power=w(wsum), valid=rep_valid)
+        angle_deg=w(merged["angle_deg"]), power=w(wsum), valid=rep_valid,
+        pair_idx=pair_mode)
 
 
 def cluster_stage2(t: ClusteredTargets,
@@ -64,13 +92,17 @@ def cluster_stage2(t: ClusteredTargets,
         [(t.range_m, params.max_range_sep),
          (t.velocity_ms, params.max_vel_sep)], t.valid)
     labels = connected_labels(adj, t.valid)
-    merged, rep_valid = merge_winner_take_all(
-        labels, t.valid, t.power,
-        {"range_m": t.range_m, "velocity_ms": t.velocity_ms,
-         "angle_deg": t.angle_deg})
+    fields = {"range_m": t.range_m, "velocity_ms": t.velocity_ms,
+              "angle_deg": t.angle_deg}
+    if t.pair_idx is not None:
+        fields["pair_idx"] = t.pair_idx
+    merged, rep_valid = merge_winner_take_all(labels, t.valid, t.power,
+                                              fields)
     zero = jnp.zeros((), t.power.dtype)
     w = lambda x: jnp.where(rep_valid, x, zero)
     return ClusteredTargets(
         range_m=w(merged["range_m"]), velocity_ms=w(merged["velocity_ms"]),
         angle_deg=w(merged["angle_deg"]), power=w(merged["power"]),
-        valid=rep_valid)
+        valid=rep_valid,
+        pair_idx=(jnp.where(rep_valid, merged["pair_idx"], 0)
+                  if t.pair_idx is not None else None))

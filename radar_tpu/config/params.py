@@ -126,6 +126,11 @@ class ClusterParams:
     max_vel_sep: float = 0.4      # m/s
     max_angle_sep: float = 5.0    # degrees (stage 1 only)
     max_clusters: int = 128       # jit-static capacity
+    # v7_7 variant: stage 1 keeps the modal member PairIndex per cluster
+    # (mode([detections.PairIndex]), main_simulate_echoes_with_array_
+    # v7_7.m:766 — MATLAB mode tie-breaks to the smallest value); stage 2
+    # carries the winner's. The v8 path drops the pair index (default).
+    keep_pair_mode: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -40,6 +40,35 @@ def beam_patterns(dbf_w: np.ndarray, element_spacing: float, wavelength: float,
     return scan_deg, resp, peaks
 
 
+def beam_patterns_reference(dbf_w: np.ndarray,
+                            element_spacing: float = 0.0138):
+    """Quirk-faithful reproduction of the reference's beam-pattern script
+    (plot_beam_patterns.m) — the procedure that generated the pasted
+    ``beam_angles_deg`` LUT (main_simulate_echoes_with_array_v8_3.m:178):
+
+      - weights fliplr'd (plot_beam_patterns.m:40),
+      - carrier fc = 9500 MHz, NOT the system's 9450 (:20),
+      - 1-based element indices (:52 — magnitude-invariant, kept for
+        bit-level fidelity of the complex responses),
+      - pattern = w . S with NO conjugation (:64),
+      - scan -90..100 deg at 0.1 deg (:49).
+
+    Returns (scan_deg, patterns [B, G] linear magnitude, peak_angles [B]).
+    On the measured 16-channel CSV the peaks reproduce the LUT EXACTLY
+    (every entry lands on the same 0.1-deg scan sample); evaluated at the
+    system's true 9450 MHz they drift up to 0.8 deg at the steepest beam —
+    the LUT is a product of the quirky script, preserved as such."""
+    c = 2.99792458e8
+    wavelength = c / 9500e6
+    scan_deg = np.arange(-90.0, 100.0 + 1e-9, 0.1)
+    w = np.fliplr(np.asarray(dbf_w))
+    s = steering_vector(scan_deg, w.shape[1], element_spacing, wavelength,
+                        index_base=1)
+    resp = np.abs(w @ s)  # no conj (plot_beam_patterns.m:64)
+    peaks = scan_deg[np.argmax(resp, axis=1)]
+    return scan_deg, resp, peaks
+
+
 def calibrate_k_slopes(dbf_w: np.ndarray, beam_angles_deg: np.ndarray,
                        element_spacing: float, wavelength: float,
                        num_scan: int = 501, fit_half_width: int = 5,

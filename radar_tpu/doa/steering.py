@@ -18,10 +18,16 @@ import numpy as np
 
 
 def steering_vector(angles_deg: np.ndarray, num_elements: int,
-                    element_spacing: float, wavelength: float) -> np.ndarray:
-    """Steering matrix S, complex [num_elements, len(angles)]."""
+                    element_spacing: float, wavelength: float,
+                    index_base: int = 0) -> np.ndarray:
+    """Steering matrix S, complex [num_elements, len(angles)].
+
+    ``index_base=1`` reproduces the reference plot script's quirk of
+    1-based element indices (plot_beam_patterns.m:52) — a per-angle global
+    phase on every column, so |w . S| patterns and peak angles are
+    invariant; exposed for bit-faithful reproduction of that script."""
     angles = np.deg2rad(np.atleast_1d(np.asarray(angles_deg, np.float64)))
-    n = np.arange(num_elements)[:, None]
+    n = (np.arange(num_elements) + index_base)[:, None]
     phase = 2.0 * np.pi * element_spacing * np.sin(angles)[None, :] / wavelength
     return np.exp(1j * n * phase)
 

@@ -90,6 +90,13 @@ def make_rdm_plan(precomp, mtd_matrix, num_pulses: int,
         w = t + lh - 1
         w_pad = -(-w // 128) * 128
         xlen_needed = (ntiles - 1) * t + w_pad
+        if lane == 128 and xlen_needed // 128 >= 65536:
+            # the in-kernel PRNG packs (beam, chunk) as b*2^16 + c into one
+            # seed word; a chunk index >= 2^16 would silently alias draw
+            # streams across beams (see _draw_uniform_chunk)
+            raise ValueError(
+                f"segment needs {xlen_needed // 128} 128-lane chunks "
+                f">= 2^16; the (beam, chunk) seed packing would alias")
         pad_tail = max(xlen_needed - (pad_front + r_len), 0)
         mpr, mpi = _seg_matrices(h, t)
         mpr = np.pad(mpr, ((0, w_pad - w), (0, 0)))
@@ -830,10 +837,11 @@ def noise_rdm_pallas_gen(seed, plan: RdmPlan, l_factor,
     half-width (sqrt(1.5) for unit rail variance — the validated
     cfg.noise_dist="uniform" rails). The plan must be built with
     ``lane=128``. Under ``interpret`` (CPU tests) the TPU-semantics
-    interpreter runs the kernel functionally but its PRNG is degenerate
-    (all-zero bits -> zero noise); statistical and bit-level validation
-    runs on real hardware (scripts/validate_rdm_gen.py,
-    results/rdm_gen.json).
+    interpreter runs the kernel functionally and its PRNG produces real
+    pseudo-random bits — just not the HARDWARE bit stream, so CPU runs
+    check structure and statistics (tests/test_pallas_rdm.py asserts
+    nonzero output) while bit-level validation vs the hardware generator
+    runs via scripts/validate_rdm_gen.py (results/rdm_gen.json).
 
     ``signal=(dop_v [K, n_dop], pc_base [K, n_gates], steer [K, num_b])``
     (complex, traced) fuses the rank-K closed-form SIGNAL RDM into the

@@ -140,6 +140,24 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
     km = (cfg.kernel_maps and lowrank
           and cfg.noise_rdm_impl == "pallas_prng")
 
+    # flag-precedence guard: the kernel-tail branches (kernel_maps,
+    # beams_major_tail) run their own CFAR/extraction layouts and would
+    # silently ignore the alternative CFAR/extraction implementations
+    if km or bm_tail:
+        import warnings
+
+        branch = "kernel_maps" if km else "beams_major_tail"
+        for flag in ("use_pallas_cfar", "extract_native_scan"):
+            if getattr(cfg, flag):
+                warnings.warn(
+                    f"cfg.{flag} is ignored when cfg.{branch} is active: "
+                    f"the {branch} tail uses its own CFAR/extraction "
+                    "layout", stacklevel=2)
+        if km and cfg.beams_major_tail:
+            warnings.warn(
+                "cfg.kernel_maps takes precedence over "
+                "cfg.beams_major_tail (both set)", stacklevel=2)
+
     def process(key, targets: TargetBatch):
         if lowrank and km and lr.noise_rdm_sig is not None:
             # kernel-maps tail: the fused kernel returns BOTH the complete

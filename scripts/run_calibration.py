@@ -33,6 +33,11 @@ def main() -> None:
                     help="16 = measured CSV bank; other values synthesize "
                          "a bank (8/64/128-ch configs)")
     ap.add_argument("--out", default="beam_patterns.png")
+    ap.add_argument("--reference-quirks", action="store_true",
+                    help="quirk-faithful plot_beam_patterns.m procedure "
+                         "(fliplr'd weights, fc=9500 MHz, 1-based element "
+                         "indices, no conj) — reproduces the pasted "
+                         "beam_angles_deg LUT exactly")
     ap.add_argument("--procedure", choices=("self-consistent", "reference"),
                     default="self-consistent",
                     help="'self-consistent' = magnitude-ratio calibration "
@@ -47,7 +52,9 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
 
     from radar_tpu.config.params import RadarConfig, SigConfig, ArrayConfig
-    from radar_tpu.doa.calibrate import beam_patterns, calibrate_k_slopes
+    from radar_tpu.doa.calibrate import (beam_patterns,
+                                         beam_patterns_reference,
+                                         calibrate_k_slopes)
     from radar_tpu.viz.plots import plot_beam_patterns_fig
     from radar_tpu.waveform.precompute import precompute
 
@@ -59,10 +66,14 @@ def main() -> None:
     wavelength = (sig.c / (args.fc_mhz * 1e6) if args.fc_mhz
                   else sig.wavelength)
 
-    scan, resp, peaks = beam_patterns(np.asarray(pre.dbf_w),
-                                      cfg.array.element_spacing,
-                                      sig.wavelength,
-                                      wavelength_override=wavelength)
+    if args.reference_quirks:
+        scan, resp, peaks = beam_patterns_reference(
+            np.asarray(pre.dbf_w), cfg.array.element_spacing)
+    else:
+        scan, resp, peaks = beam_patterns(np.asarray(pre.dbf_w),
+                                          cfg.array.element_spacing,
+                                          sig.wavelength,
+                                          wavelength_override=wavelength)
     if args.procedure == "reference":
         # calibrate_all_monopulse_slopes.m: fliplr'd weights, complex field
         # ratio, scan = crossover +/- separation (see calibrate.py NB on the

@@ -109,3 +109,40 @@ def test_connected_labels_long_chain_converges():
     adj = gate_adjacency([(jnp.asarray(x), 1.0)], jnp.ones(n, bool))
     labels = np.asarray(connected_labels(adj, jnp.ones(n, bool)))
     assert np.all(labels == 0), np.unique(labels)
+
+
+def test_stage1_pair_mode_v7_7_variant():
+    """v7_7 variant: stage 1 keeps mode(PairIndex) per cluster
+    (_v7_7.m:766); MATLAB mode tie-breaks to the smallest value; stage 2
+    carries the winner's pair index."""
+    dets = _dets([100.0, 110.0, 105.0, 108.0, 500.0],
+                 [5.0, 5.2, 5.1, 5.0, 5.0],
+                 [10.0, 11.0, 10.5, 10.2, 10.0],
+                 [1.0, 3.0, 2.0, 1.0, 7.0])
+    # cluster {0,1,2,3}: pairs [4, 2, 4, 2] -> tie between 2 and 4 -> 2;
+    # cluster {4}: pair 9
+    dets = dets._replace(pair_idx=jnp.asarray([4, 2, 4, 2, 9], jnp.int32))
+    params = ClusterParams(keep_pair_mode=True)
+    s1 = cluster_stage1(dets, params)
+    valid = np.asarray(s1.valid)
+    assert valid.sum() == 2
+    got = sorted(zip(np.asarray(s1.range_m)[valid],
+                     np.asarray(s1.pair_idx)[valid]))
+    assert got[0][1] == 2 and got[1][1] == 9
+    # clear majority case
+    dets2 = dets._replace(pair_idx=jnp.asarray([4, 2, 4, 4, 9], jnp.int32))
+    s1b = cluster_stage1(dets2, params)
+    v2 = np.asarray(s1b.valid)
+    got2 = sorted(zip(np.asarray(s1b.range_m)[v2],
+                      np.asarray(s1b.pair_idx)[v2]))
+    assert got2[0][1] == 4
+    # stage 2 winner-take-all carries the winner's pair index
+    # (both clusters survive stage 2: far apart in range)
+    s2 = cluster_stage2(s1b, params)
+    v3 = np.asarray(s2.valid)
+    assert v3.sum() == 2
+    assert sorted(np.asarray(s2.pair_idx)[v3].tolist()) == [4, 9]
+    # default path: no pair index carried
+    s1d = cluster_stage1(dets, ClusterParams())
+    assert s1d.pair_idx is None
+    assert cluster_stage2(s1d, ClusterParams()).pair_idx is None

@@ -137,3 +137,33 @@ def test_reference_calibration_procedure_pinned():
         ks[:4], [-2.5448, -2.3314, -2.2636, -2.3314], atol=2e-3)
     # ... and differs from the shipped (pasted) LUT
     assert np.max(np.abs(ks - np.asarray(assets.K_SLOPES_LUT_16CH))) > 1.0
+
+
+def test_beam_patterns_reference_quirks_reproduce_lut():
+    """The quirk-faithful plot_beam_patterns.m procedure (fliplr'd
+    weights, fc=9500 MHz instead of the system's 9450, 1-based element
+    indices, no conjugation — plot_beam_patterns.m:20,40,52,64) reproduces
+    the pasted beam_angles_deg LUT (v8_3:178) EXACTLY on the measured DBF
+    CSV, while the same procedure at the true carrier drifts up to 0.8 deg
+    — proving the LUT is a product of the quirky script."""
+    from radar_tpu.config import assets
+    from radar_tpu.doa.calibrate import beam_patterns, \
+        beam_patterns_reference
+    from radar_tpu.doa.steering import steering_vector
+
+    w = assets.dbf_coeffs()
+    _, resp, peaks = beam_patterns_reference(w)
+    np.testing.assert_allclose(peaks, assets.BEAM_ANGLES_DEG_16CH,
+                               atol=1e-9)
+    # at the system carrier the steepest beams land elsewhere
+    lam = 2.99792458e8 / 9450e6
+    _, _, peaks_sys = beam_patterns(np.fliplr(w).conj(), 0.0138, lam)
+    assert np.max(np.abs(peaks_sys - assets.BEAM_ANGLES_DEG_16CH)) > 0.5
+    # the 1-based index quirk is a pure per-angle global phase: magnitude
+    # patterns identical, complex responses differ by exactly that phase
+    scan = np.arange(-10.0, 10.0, 0.5)
+    s0 = steering_vector(scan, 16, 0.0138, lam, index_base=0)
+    s1 = steering_vector(scan, 16, 0.0138, lam, index_base=1)
+    np.testing.assert_allclose(np.abs(w @ s0), np.abs(w @ s1), rtol=1e-12)
+    phase = s1[0] / s0[0]
+    np.testing.assert_allclose(s1, s0 * phase[None, :], rtol=1e-12)
