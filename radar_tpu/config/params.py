@@ -272,6 +272,13 @@ class RadarConfig:
     # into (pair,range,velocity)-major order, instead of relaying the whole
     # cube out transposed first; identical output below capacity
     extract_native_scan: bool = False
+    # Detection-index extraction: "direct" (first_k_true_vgq — (pair,gate)
+    # rows of width V computed in the producer layout, no bool relayout /
+    # padded copy) or "rowfetch" (padded 4096-wide rows over the
+    # transposed ravel). Bit-identical outputs; direct measures 3.06 ->
+    # 2.39 ms/frame e2e on v5e (results/extract_impl_ab.json) and is the
+    # default; rowfetch kept as the reference formulation
+    extract_impl: str = "direct"
     # lowrank noise-RDM backend: "xla" (banded-Toeplitz PC + MTD matmul +
     # mix, three stages), "pallas" (ops/pallas_rdm.py fused one-pass
     # kernel with double-buffered window DMA; TPU only), or "pallas_prng"

@@ -198,9 +198,53 @@ def first_k_true_indices(flat: jnp.ndarray, capacity: int,
     return jnp.where(valid, idx, 0), valid
 
 
+def first_k_true_vgq(mask: jnp.ndarray, capacity: int
+                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Ascending (pair, range, velocity)-major flat indices of the first
+    ``capacity`` True cells of a [V, G, pairs] mask — bit-identical to
+    ``first_k_true_indices`` on the transposed ravel, but computed in the
+    PRODUCER layout: no 13.6M-bool transpose relayout, no padded copy.
+
+    Rows are (pair, gate) pairs of width V: the per-row counts reduce over
+    the leading mask axis (fusable into the CFAR elementwise graph), the
+    ≤cap hit rows are fetched with a gate-axis one-hot MXU contraction
+    straight against the [V, G, Q] cube (the layout permutation folds into
+    the dot's dimension numbers), and the within-row position is a cumsum
+    over just V lanes instead of a 4096-wide padded row."""
+    num_v, num_g, num_q = mask.shape
+    rc = jnp.sum(mask, axis=0).astype(jnp.int32)          # [G, Q]
+    row_counts = rc.T.ravel()                              # [Q*G]
+    row_off = jnp.cumsum(row_counts) - row_counts          # exclusive
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    total = row_off[-1] + row_counts[-1]
+    valid = slots < jnp.minimum(total, capacity)
+    num_rows = num_q * num_g
+    r_s = (jnp.searchsorted(row_off, slots, side="right",
+                            method="compare_all") - 1).astype(jnp.int32)
+    r_s = jnp.clip(r_s, 0, num_rows - 1)
+    q_s = r_s // num_g
+    g_s = r_s % num_g
+    # fetch the selected V-columns: contract the gate axis on the MXU
+    # (bf16 0/1 operands, f32 accumulation of <= num_g ones: exact), then
+    # the tiny pair axis on the VPU
+    onehot_g = jax.nn.one_hot(g_s, num_g, dtype=jnp.bfloat16)   # [cap, G]
+    sel_g = jnp.einsum("cg,vgq->cvq", onehot_g,
+                       mask.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)      # [cap,V,Q]
+    onehot_q = jax.nn.one_hot(q_s, num_q, dtype=jnp.float32)    # [cap, Q]
+    rows_sel = jnp.einsum("cvq,cq->cv", sel_g, onehot_q)        # [cap, V]
+    within = jnp.cumsum(rows_sel, axis=1) - rows_sel            # exclusive
+    want = (slots - row_off[r_s]).astype(jnp.float32)
+    hit = (jnp.abs(within - want[:, None]) < 0.5) & (rows_sel > 0.5)
+    v_c = jnp.argmax(hit, axis=1).astype(jnp.int32)
+    idx = r_s * num_v + v_c        # (q*G + g)*V + v: (q, r, v)-major
+    return jnp.where(valid, idx, 0), valid
+
+
 def extract_detections(mask: jnp.ndarray, maps: jnp.ndarray,
                        capacity: int, native_scan: bool = False,
-                       layout: str = "vgq") -> Detections:
+                       layout: str = "vgq", impl: str = "rowfetch"
+                       ) -> Detections:
     """Turn a boolean detection cube into a fixed-capacity index list
     ordered (pair, range, velocity)-major.
 
@@ -214,7 +258,28 @@ def extract_detections(mask: jnp.ndarray, maps: jnp.ndarray,
     capacity hits into the same (pair, range, velocity)-major order
     afterwards — identical output whenever the true count fits the capacity
     (beyond capacity the two variants keep a different — equally arbitrary —
-    subset; the reference has no capacity at all)."""
+    subset; the reference has no capacity at all).
+
+    ``impl="direct"`` (vgq only) uses :func:`first_k_true_vgq` — same
+    output bit for bit in ALL cases including over-capacity, computed in
+    the producer layout with (pair, gate)-rows of width V."""
+    if layout == "vgq" and impl == "direct" and not native_scan:
+        num_v, num_r, num_q = mask.shape
+        safe, valid = first_k_true_vgq(mask, capacity)
+        pair = safe // (num_r * num_v)
+        rem = safe % (num_r * num_v)
+        r = rem // num_v
+        v = rem % num_v
+        amp = maps[v, r, pair]
+        zero = jnp.zeros((), maps.dtype)
+        return Detections(
+            v_idx=jnp.where(valid, v, 0).astype(jnp.int32),
+            r_idx=jnp.where(valid, r, 0).astype(jnp.int32),
+            pair_idx=jnp.where(valid, pair, 0).astype(jnp.int32),
+            amp=jnp.where(valid, amp, zero),
+            valid=valid,
+            count=jnp.sum(mask).astype(jnp.int32),
+        )
     if layout in ("qgv", "qvg"):
         if layout == "qvg":
             # fused-kernel map layout [pairs, V, G]: only the bool mask is

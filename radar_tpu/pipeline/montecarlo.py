@@ -123,7 +123,8 @@ def make_trial_fn(cfg: RadarConfig, precomp: Precomputed,
         maps = pair_sum_maps(rdm)
         mask, _ = goca_cfar_2d(maps, cfg.cfar)
         dets = extract_detections(mask, maps, cfg.cfar.max_detections,
-                                  native_scan=cfg.extract_native_scan)
+                                  native_scan=cfg.extract_native_scan,
+                                  impl=cfg.extract_impl)
         params = estimate_parameters(
             dets, maps, rdm, mc, ip.extra_dots, ip.r_interp_times,
             ip.v_interp_times, monopulse_complex=cfg.monopulse_complex)

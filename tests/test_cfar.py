@@ -7,8 +7,8 @@ import numpy as np
 import pytest
 
 from radar_tpu.config.params import CfarParams
-from radar_tpu.ops.cfar import (extract_detections, goca_cfar_2d,
-                                pair_sum_maps)
+from radar_tpu.ops.cfar import (extract_detections, first_k_true_indices,
+                                goca_cfar_2d, pair_sum_maps)
 from oracle import goca_cfar_oracle
 
 
@@ -149,3 +149,43 @@ def test_first_k_true_property(data):
     assert valid.sum() == len(want)
     np.testing.assert_array_equal(idx[:len(want)], want)
     assert np.all(idx[len(want):] == 0)
+
+
+def test_first_k_true_vgq_matches_rowfetch():
+    """extract_impl='direct' (producer-layout (pair,gate)-row extraction)
+    is bit-identical to the rowfetch path across densities, including
+    over-capacity."""
+    import jax
+
+    from radar_tpu.ops.cfar import first_k_true_vgq
+
+    rng = np.random.default_rng(7)
+    for density, cap in [(0.0, 64), (1e-4, 64), (2e-3, 64), (0.3, 128)]:
+        mask = rng.random((48, 500, 6)) < density
+        flat = jnp.transpose(jnp.asarray(mask), (2, 1, 0)).ravel()
+        a_idx, a_val = jax.jit(
+            lambda f: first_k_true_indices(f, cap))(flat)
+        b_idx, b_val = jax.jit(
+            lambda m: first_k_true_vgq(m, cap))(jnp.asarray(mask))
+        np.testing.assert_array_equal(np.asarray(a_idx), np.asarray(b_idx))
+        np.testing.assert_array_equal(np.asarray(a_val), np.asarray(b_val))
+
+
+def test_extract_impl_direct_in_pipeline():
+    """Full small-config pipeline with extract_impl='direct' produces the
+    identical FrameResult to the default."""
+    import jax
+
+    from radar_tpu.config.params import small_test_config
+    from radar_tpu.pipeline.frame import make_frame_processor
+    from radar_tpu.sim.scenario import TargetBatch
+
+    cfg = small_test_config()
+    tb = TargetBatch.make([3000.0, 9000.0], [10.0, 20.0], [10.0, 5.0],
+                          [18.0, 15.0])
+    key = jax.random.PRNGKey(0)
+    a = make_frame_processor(cfg)(key, tb)
+    b = make_frame_processor(cfg.replace(extract_impl="direct"))(key, tb)
+    assert int(a.num_raw_detections) == int(b.num_raw_detections)
+    for fa, fb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
