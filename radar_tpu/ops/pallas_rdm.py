@@ -31,7 +31,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_pc import _seg_matrices
 
 
 class RdmSegSpec(NamedTuple):
@@ -55,6 +54,22 @@ class RdmPlan(NamedTuple):
     di: np.ndarray
     p_pad: int
     v_pad: int
+
+
+def _seg_matrices(h: np.ndarray, tile: int) -> tuple[np.ndarray, np.ndarray]:
+    """Banded-convolution (re, im) filter planes [tile+len(h)-1, tile] for
+    one segment: column t holds h reversed at offset t (causal linear
+    convolution = MATLAB filter() semantics). Shared with the
+    studies/pallas_pc.py kernel, which this fused kernel superseded."""
+    lh = len(h)
+    w = tile + lh - 1
+    m = np.zeros((w, tile), np.complex128)
+    for tt in range(tile):
+        k = tt + lh - 1 - np.arange(w)
+        sel = (k >= 0) & (k < lh)
+        m[sel, tt] = h[k[sel]]
+    return (np.ascontiguousarray(m.real.astype(np.float32)),
+            np.ascontiguousarray(m.imag.astype(np.float32)))
 
 
 def make_rdm_plan(precomp, mtd_matrix, num_pulses: int,

@@ -13,9 +13,13 @@ reassociation: a causal linear convolution of each segment (reference
 fun_process_single_frame.m:99-127 semantics, zero history at segment start
 = MATLAB filter()), spliced to n_total_gate outputs.
 
-Used by the lowrank noise path (cfg.pc_impl="pallas"); the beams-major
-[B, pulses, samples] input layout is free there because the input is WHITE
-noise generated directly in that layout.
+STUDY ARTIFACT (measured negative, ROADMAP.md): exact vs the XLA plan and
+fully tested (tests/test_pallas.py), but the integrated gen+pc+mtd+mix
+chain measured 3.69 ms vs 2.80 for XLA on v5e (no cross-grid-step double
+buffering; the [B, pulses, samples] layout it needs is itself ~0.5 ms
+worse). Nothing in production calls it — the fused noise-RDM kernel
+(ops/pallas_rdm.py) owns the perf path and shares this kernel's
+banded-matrix builder (_seg_matrices, which lives there).
 """
 
 from __future__ import annotations
@@ -27,6 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.pallas_rdm import _seg_matrices
 
 
 class SegSpec(NamedTuple):
@@ -45,18 +51,6 @@ class PallasPCPlan(NamedTuple):
     segments: tuple[SegSpec, ...]
     s_compact: int   # total compact-z samples (== sum of r_len)
     n_gates: int
-
-
-def _seg_matrices(h: np.ndarray, tile: int) -> tuple[np.ndarray, np.ndarray]:
-    lh = len(h)
-    w = tile + lh - 1
-    m = np.zeros((w, tile), np.complex128)
-    for tt in range(tile):
-        k = tt + lh - 1 - np.arange(w)
-        sel = (k >= 0) & (k < lh)
-        m[sel, tt] = h[k[sel]]
-    return (np.ascontiguousarray(m.real.astype(np.float32)),
-            np.ascontiguousarray(m.imag.astype(np.float32)))
 
 
 def make_pallas_pc_plan(precomp, tile: int = 512) -> PallasPCPlan:

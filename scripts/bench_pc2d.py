@@ -93,7 +93,7 @@ def pallas_variant():
     """Appends a pallas-PC chain timing (invoked via --pallas)."""
     from radar_tpu.config.params import full_config
     from radar_tpu.ops.mtd import make_mtd_matrix
-    from radar_tpu.ops.pallas_pc import (make_pallas_pc_plan,
+    from radar_tpu.studies.pallas_pc import (make_pallas_pc_plan,
                                          pulse_compress_noise_pallas)
     from radar_tpu.ops.precision import einsum_complex_bf16
     from radar_tpu.waveform.precompute import precompute

@@ -52,9 +52,9 @@ def test_pallas_cfar_in_pipeline_shape():
 
 
 def test_pallas_pc_matches_matmul_plan():
-    """Banded-conv Pallas PC (ops/pallas_pc.py, interpret mode): exact match
+    """Banded-conv Pallas PC (studies/pallas_pc.py, interpret mode): exact match
     with the XLA banded-Toeplitz plan on the same compact white noise."""
-    from radar_tpu.ops.pallas_pc import (make_pallas_pc_plan,
+    from radar_tpu.studies.pallas_pc import (make_pallas_pc_plan,
                                          pulse_compress_noise_pallas)
     from radar_tpu.ops.pulse_compression import (compact_noise_plan,
                                                  make_matmul_plan,
