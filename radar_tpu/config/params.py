@@ -279,6 +279,12 @@ class RadarConfig:
     # 2.39 ms/frame e2e on v5e (results/extract_impl_ab.json) and is the
     # default; rowfetch kept as the reference formulation
     extract_impl: str = "direct"
+    # Gather detection amplitudes and estimation stencils pointwise from
+    # the complex RDM instead of the materialized pair-sum maps (identical
+    # values: maps[v,r,q] = |rdm[v,r,q]|+|rdm[v,r,q+1]|), leaving the full
+    # pair-sum cube as an input of the CFAR box filters only (XLA can fuse
+    # it away). Requires extract_impl="direct"; vgq tail only.
+    tail_from_rdm: bool = False
     # lowrank noise-RDM backend: "xla" (banded-Toeplitz PC + MTD matmul +
     # mix, three stages), "pallas" (ops/pallas_rdm.py fused one-pass
     # kernel with double-buffered window DMA; TPU only), or "pallas_prng"

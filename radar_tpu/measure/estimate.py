@@ -76,6 +76,27 @@ def _stencil_gather(maps: jnp.ndarray, v_idx, r_idx, pair_idx, extra: int,
     return maps[cells, r_idx[:, None], pair_idx[:, None]]
 
 
+def _stencil_gather_rdm(rdm: jnp.ndarray, v_idx, r_idx, pair_idx,
+                        extra: int, axis: str) -> jnp.ndarray:
+    """Pair-sum stencil gathered pointwise from the complex [V, G, beams]
+    RDM: |rdm[.., p]| + |rdm[.., p+1]| at the same cells
+    :func:`_stencil_gather` would read from the materialized maps — the
+    identical values (cfg.tail_from_rdm keeps the full pair-sum cube out
+    of the tail entirely)."""
+    offs = jnp.arange(-extra, extra + 1)
+    if axis == "r":
+        cells = jnp.clip(r_idx[:, None] + offs[None, :], 0,
+                         rdm.shape[1] - 1)
+        a = rdm[v_idx[:, None], cells, pair_idx[:, None]]
+        b = rdm[v_idx[:, None], cells, pair_idx[:, None] + 1]
+    else:
+        cells = jnp.clip(v_idx[:, None] + offs[None, :], 0,
+                         rdm.shape[0] - 1)
+        a = rdm[cells, r_idx[:, None], pair_idx[:, None]]
+        b = rdm[cells, r_idx[:, None], pair_idx[:, None] + 1]
+    return jnp.abs(a) + jnp.abs(b)
+
+
 def _spline_peak_offset(stencil: jnp.ndarray, q: jnp.ndarray,
                         times: int, extra: int) -> jnp.ndarray:
     """Peak offset (in cells, in [-extra, +extra]) of the spline-upsampled
@@ -101,6 +122,10 @@ def estimate_parameters(dets: Detections, pair_maps: jnp.ndarray,
     "qvg"."""
     if maps_layout is None:
         maps_layout = "qgv" if layout == "bvg" else "vgq"
+    from_rdm = pair_maps is None
+    if from_rdm and layout != "vgb":
+        raise ValueError("pair_maps=None (tail_from_rdm) needs rdm layout "
+                         "'vgb'")
     # consts may arrive as host numpy (embedded as XLA constants at trace
     # time); coerce so tracer-indexed gathers work
     rx = jnp.asarray(precomp_dev.range_axis)
@@ -111,17 +136,23 @@ def estimate_parameters(dets: Detections, pair_maps: jnp.ndarray,
     # storage dtype like bf16 (the gathered stencils are only [cap, 5] —
     # upcasting them is free; doing the spline/ratio math in bf16 would
     # quantize range to ~16 m steps)
-    real_dtype = jnp.promote_types(pair_maps.dtype, jnp.float32)
+    real_dtype = jnp.promote_types(
+        jnp.float32 if from_rdm else pair_maps.dtype, jnp.float32)
 
-    st_r = _stencil_gather(pair_maps, dets.v_idx, dets.r_idx, dets.pair_idx,
-                           extra_dots, "r", maps_layout).astype(real_dtype)
+    def gather(axis):
+        if from_rdm:
+            return _stencil_gather_rdm(rdm, dets.v_idx, dets.r_idx,
+                                       dets.pair_idx, extra_dots, axis)
+        return _stencil_gather(pair_maps, dets.v_idx, dets.r_idx,
+                               dets.pair_idx, extra_dots, axis, maps_layout)
+
+    st_r = gather("r").astype(real_dtype)
     off_r = _spline_peak_offset(
         st_r, jnp.asarray(precomp_dev.q_range, real_dtype), r_times,
         extra_dots)
     est_range = rx[dets.r_idx] + off_r * precomp_dev.delta_r
 
-    st_v = _stencil_gather(pair_maps, dets.v_idx, dets.r_idx, dets.pair_idx,
-                           extra_dots, "v", maps_layout).astype(real_dtype)
+    st_v = gather("v").astype(real_dtype)
     off_v = _spline_peak_offset(
         st_v, jnp.asarray(precomp_dev.q_vel, real_dtype), v_times,
         extra_dots)

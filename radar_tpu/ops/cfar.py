@@ -241,10 +241,10 @@ def first_k_true_vgq(mask: jnp.ndarray, capacity: int
     return jnp.where(valid, idx, 0), valid
 
 
-def extract_detections(mask: jnp.ndarray, maps: jnp.ndarray,
+def extract_detections(mask: jnp.ndarray, maps: jnp.ndarray | None,
                        capacity: int, native_scan: bool = False,
-                       layout: str = "vgq", impl: str = "rowfetch"
-                       ) -> Detections:
+                       layout: str = "vgq", impl: str = "rowfetch",
+                       rdm: jnp.ndarray | None = None) -> Detections:
     """Turn a boolean detection cube into a fixed-capacity index list
     ordered (pair, range, velocity)-major.
 
@@ -262,7 +262,12 @@ def extract_detections(mask: jnp.ndarray, maps: jnp.ndarray,
 
     ``impl="direct"`` (vgq only) uses :func:`first_k_true_vgq` — same
     output bit for bit in ALL cases including over-capacity, computed in
-    the producer layout with (pair, gate)-rows of width V."""
+    the producer layout with (pair, gate)-rows of width V.
+
+    ``rdm`` (vgq+direct only): gather the detection amplitude pointwise
+    from the complex RDM (|rdm[v,r,p]| + |rdm[v,r,p+1]| — the same values
+    the maps hold) so the caller never has to materialize the full
+    pair-sum cube for this stage (cfg.tail_from_rdm)."""
     if layout == "vgq" and impl == "direct" and not native_scan:
         num_v, num_r, num_q = mask.shape
         safe, valid = first_k_true_vgq(mask, capacity)
@@ -270,8 +275,13 @@ def extract_detections(mask: jnp.ndarray, maps: jnp.ndarray,
         rem = safe % (num_r * num_v)
         r = rem // num_v
         v = rem % num_v
-        amp = maps[v, r, pair]
-        zero = jnp.zeros((), maps.dtype)
+        if rdm is not None:
+            amp = (jnp.abs(rdm[v, r, pair])
+                   + jnp.abs(rdm[v, r, pair + 1])).astype(
+                       jnp.float32 if maps is None else maps.dtype)
+        else:
+            amp = maps[v, r, pair]
+        zero = jnp.zeros((), amp.dtype)
         return Detections(
             v_idx=jnp.where(valid, v, 0).astype(jnp.int32),
             r_idx=jnp.where(valid, r, 0).astype(jnp.int32),

@@ -262,12 +262,20 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
         else:
             maps = pair_sum_maps(rdm)
             mask, _ = goca_cfar_2d(maps, cfg.cfar)
-        dets = extract_detections(mask, maps, cfg.cfar.max_detections,
+        # maps-free tail: amplitudes/stencils gather pointwise from the
+        # RDM (identical values); the pair-sum cube then feeds ONLY the
+        # CFAR box filters, so XLA can fuse it away instead of writing it
+        tfr = (cfg.tail_from_rdm and cfg.extract_impl == "direct"
+               and not cfg.extract_native_scan and not return_intermediates)
+        dets = extract_detections(mask, None if tfr else maps,
+                                  cfg.cfar.max_detections,
                                   native_scan=cfg.extract_native_scan,
-                                  impl=cfg.extract_impl)
+                                  impl=cfg.extract_impl,
+                                  rdm=rdm if tfr else None)
         params = estimate_parameters(
-            dets, maps, rdm, mc, ip.extra_dots, ip.r_interp_times,
-            ip.v_interp_times, monopulse_complex=cfg.monopulse_complex)
+            dets, None if tfr else maps, rdm, mc, ip.extra_dots,
+            ip.r_interp_times, ip.v_interp_times,
+            monopulse_complex=cfg.monopulse_complex)
         s1 = cluster_stage1(params, cfg.cluster)
         final = cluster_stage2(s1, cfg.cluster)
         result = FrameResult(targets=final, num_raw_detections=dets.count,

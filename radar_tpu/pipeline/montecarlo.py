@@ -122,12 +122,17 @@ def make_trial_fn(cfg: RadarConfig, precomp: Precomputed,
             rdm = _mtd(pc)
         maps = pair_sum_maps(rdm)
         mask, _ = goca_cfar_2d(maps, cfg.cfar)
-        dets = extract_detections(mask, maps, cfg.cfar.max_detections,
+        tfr = (cfg.tail_from_rdm and cfg.extract_impl == "direct"
+               and not cfg.extract_native_scan)
+        dets = extract_detections(mask, None if tfr else maps,
+                                  cfg.cfar.max_detections,
                                   native_scan=cfg.extract_native_scan,
-                                  impl=cfg.extract_impl)
+                                  impl=cfg.extract_impl,
+                                  rdm=rdm if tfr else None)
         params = estimate_parameters(
-            dets, maps, rdm, mc, ip.extra_dots, ip.r_interp_times,
-            ip.v_interp_times, monopulse_complex=cfg.monopulse_complex)
+            dets, None if tfr else maps, rdm, mc, ip.extra_dots,
+            ip.r_interp_times, ip.v_interp_times,
+            monopulse_complex=cfg.monopulse_complex)
         s1 = cluster_stage1(params, cfg.cluster)
         final = cluster_stage2(s1, cfg.cluster)
         result = FrameResult(targets=final, num_raw_detections=dets.count,

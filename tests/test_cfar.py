@@ -189,3 +189,24 @@ def test_extract_impl_direct_in_pipeline():
     assert int(a.num_raw_detections) == int(b.num_raw_detections)
     for fa, fb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_tail_from_rdm_in_pipeline():
+    """cfg.tail_from_rdm (amplitudes/stencils gathered pointwise from the
+    complex RDM, no materialized maps in the tail) produces the identical
+    FrameResult. Ships default-off: measured 10% slower e2e on v5e
+    (results/tail_rdm_ab.json) — XLA already fuses the maps cube well."""
+    import jax
+
+    from radar_tpu.config.params import small_test_config
+    from radar_tpu.pipeline.frame import make_frame_processor
+    from radar_tpu.sim.scenario import TargetBatch
+
+    cfg = small_test_config()
+    tb = TargetBatch.make([3000.0, 9000.0], [10.0, 20.0], [10.0, 5.0],
+                          [18.0, 15.0])
+    key = jax.random.PRNGKey(0)
+    a = make_frame_processor(cfg)(key, tb)
+    b = make_frame_processor(cfg.replace(tail_from_rdm=True))(key, tb)
+    for fa, fb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
