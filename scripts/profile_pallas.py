@@ -115,7 +115,8 @@ def main() -> None:
             mask, _ = goca_cfar_2d(maps, cfg.cfar)
             if stage == "cfar":
                 return jnp.sum(jnp.abs(jnp.where(mask, maps, 0.0)))
-            dets = extract_detections(mask, maps, cfg.cfar.max_detections)
+            dets = extract_detections(mask, maps, cfg.cfar.max_detections,
+                                      impl=cfg.extract_impl)
             if stage == "extract":
                 return (jnp.sum(jnp.abs(dets.amp))
                         + jnp.sum(dets.v_idx + dets.r_idx)

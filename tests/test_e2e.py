@@ -91,3 +91,40 @@ def test_no_target_no_detections():
     # threshold factor 8 on a 5-cell mean is a ~1e-7 Pfa for Rayleigh noise;
     # 32x3404x4 cells -> expect ~0, allow a few strays
     assert int(result.num_raw_detections) <= 5
+
+
+def test_high_snr_near_bound_accuracy():
+    """High-SNR truth injection binds the e2e chain tightly (VERDICT weak
+    item): at 30 dB the monopulse angle error must sit in the sweep-bound
+    class (sigma 0.03-0.09 deg at full scale, results/snr_sweep_full.json)
+    — orders tighter than the +-3 deg gate tests — and the range/velocity
+    estimates must be sub-cell AND seed-stable (their small constant
+    offsets are preserved reference axis conventions, not noise)."""
+    sig = SigConfig(prt_num=64, channel_num=16, beam_num=13)
+    from radar_tpu.config.params import CfarParams
+
+    cfg = RadarConfig(sig=sig, cfar=CfarParams(ref_cells_v=5,
+                                               guard_cells_v=4,
+                                               ref_cells_r=5,
+                                               guard_cells_r=10))
+    pre = precompute(cfg)
+    process = make_frame_processor(cfg, pre, dtype=jnp.complex64)
+    tb = TargetBatch.make([10000.0], [20.0], [10.0], [30.0])
+    rs, vs, angs = [], [], []
+    for seed in range(4):
+        res = process(jax.random.PRNGKey(seed), tb)
+        r, v, a, p = _final_list(res)
+        i = int(np.argmax(p))
+        rs.append(r[i])
+        vs.append(v[i])
+        angs.append(a[i])
+    rs, vs, angs = np.asarray(rs), np.asarray(vs), np.asarray(angs)
+    # angle: within 0.1 deg of truth, noise-level spread
+    assert np.max(np.abs(angs - 10.0)) < 0.1, angs
+    assert np.ptp(angs) < 0.05, angs
+    # range/velocity: sub-cell absolute error, noise-free spread
+    assert np.max(np.abs(rs - 10000.0)) < pre.delta_r, rs
+    assert np.ptp(rs) < 0.1, rs
+    delta_v_64 = pre.delta_v * 332.0 / 64.0
+    assert np.max(np.abs(vs - 20.0)) < delta_v_64, vs
+    assert np.ptp(vs) < 0.01, vs
