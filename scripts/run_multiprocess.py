@@ -176,6 +176,70 @@ def worker_main(args) -> int:
     return 0
 
 
+def worker_bench(args) -> int:
+    """Weak-scaling throughput arm: a FIXED per-process batch of
+    Monte-Carlo trials, dp-sharded over all processes (each process
+    materializes only its slice). With each worker pinned to one core,
+    trials/s should scale ~linearly with process count — the measured
+    'N>=2 hosts' scaling axis of BASELINE.md, on the one-machine stand-in
+    for DCN (localhost Gloo)."""
+    import time as _time
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from radar_tpu.parallel import multihost
+
+    assert multihost.initialize() is True
+    pid = jax.process_index()
+    nproc = jax.process_count()
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from radar_tpu.config.params import small_test_config
+    from radar_tpu.parallel.mesh import AXIS_DP
+    from radar_tpu.pipeline.montecarlo import make_trial_fn
+    from radar_tpu.sim.scenario import TargetBatch
+    from radar_tpu.waveform.precompute import precompute
+
+    cfg = small_test_config(channels=8, pulses=32)
+    pre = precompute(cfg)
+    tb = TargetBatch.make([3000.0], [10.0], [10.0], [18.0])
+    n_trials = args.trials_per_proc * nproc
+    mesh = multihost.make_multihost_mesh(dp=nproc * jax.local_device_count())
+    with jax.default_device(jax.local_devices()[0]):
+        keys_np = np.asarray(
+            jax.vmap(jax.random.fold_in, (None, 0))(
+                jax.random.PRNGKey(11), jnp.arange(n_trials)))
+    sl = multihost.local_batch_slice(n_trials, mesh)
+    sh = NamedSharding(mesh, P(AXIS_DP))
+    keys_g = jax.make_array_from_process_local_data(sh, keys_np[sl],
+                                                    keys_np.shape)
+    repl = NamedSharding(mesh, P())
+    tb_g = jax.tree.map(lambda x: jax.device_put(x, repl), tb)
+    trial_fn = make_trial_fn(cfg, pre)
+    run = jax.jit(lambda t, ks: jnp.sum(trial_fn(t, ks)[0]),
+                  out_shardings=repl)
+    for _ in range(2):   # warmup/compile
+        float(run(tb_g, keys_g))
+    reps = args.bench_reps
+    t0 = _time.perf_counter()
+    for _ in range(reps):
+        float(run(tb_g, keys_g))
+    dt = (_time.perf_counter() - t0) / reps
+    tput = n_trials / dt
+    print(f"[proc {pid}] bench: {n_trials} trials in {dt * 1e3:.1f} ms "
+          f"-> {tput:.2f} trials/s", flush=True)
+    if pid == 0 and args.out:
+        with open(args.out, "w") as f:
+            json.dump({"nproc": nproc, "trials": n_trials,
+                       "seconds_per_batch": dt, "trials_per_s": tput}, f)
+    return 0
+
+
 # --------------------------------------------------------------------------
 # orchestrator
 # --------------------------------------------------------------------------
@@ -235,6 +299,64 @@ def orchestrate(args) -> int:
     return 0 if ok else 1
 
 
+def bench_orchestrate(args) -> int:
+    """Weak-scaling arms: 1 process vs N processes, one core and one CPU
+    device each (taskset-pinned so per-process compute is constant).
+    Writes results/multiprocess_scaling.json."""
+    results = {}
+    for nproc in (1, args.nproc):
+        port = _free_port()
+        procs, logs = [], []
+        outp = f"{args.logdir}/mp_bench_{nproc}.json"
+        for pid in range(nproc):
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            flags = [f for f in env.get("XLA_FLAGS", "").split()
+                     if "xla_force_host_platform_device_count" not in f]
+            flags.append("--xla_force_host_platform_device_count=1")
+            env["XLA_FLAGS"] = " ".join(flags)
+            env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+            env["JAX_NUM_PROCESSES"] = str(nproc)
+            env["JAX_PROCESS_ID"] = str(pid)
+            env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH",
+                                                            "")
+            cmd = ["taskset", "-c", str(pid % os.cpu_count()),
+                   sys.executable, os.path.abspath(__file__), "--worker",
+                   "--bench", "--nproc", str(nproc),
+                   "--trials-per-proc", str(args.trials_per_proc),
+                   "--bench-reps", str(args.bench_reps),
+                   "--out", outp if pid == 0 else ""]
+            lf = open(f"{args.logdir}/mp_bench_{nproc}_{pid}.log", "w")
+            logs.append(lf)
+            procs.append(subprocess.Popen(cmd, env=env, stdout=lf,
+                                          stderr=subprocess.STDOUT,
+                                          cwd=REPO))
+        rcs = [p.wait(timeout=args.timeout) for p in procs]
+        for lf in logs:
+            lf.close()
+        if any(rcs):
+            for pid in range(nproc):
+                sys.stdout.write(
+                    open(f"{args.logdir}/mp_bench_{nproc}_{pid}.log").read())
+            return 1
+        results[nproc] = json.load(open(outp))
+        print(f"nproc={nproc}: {results[nproc]['trials_per_s']:.2f} "
+              f"trials/s ({results[nproc]['trials']} trials/batch)")
+    n1, nN = results[1], results[args.nproc]
+    scaling = (nN["trials_per_s"] / n1["trials_per_s"])
+    out = {"arms": results, "pinning": "1 core + 1 CPU device per process",
+           "per_proc_trials": args.trials_per_proc,
+           "weak_scaling_efficiency": scaling / args.nproc,
+           "speedup": scaling}
+    print(json.dumps({"speedup": round(scaling, 3),
+                      "efficiency": round(scaling / args.nproc, 3)}))
+    path = os.path.join(REPO, "results", "multiprocess_scaling.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
+    return 0
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("localhost", 0))
@@ -244,15 +366,24 @@ def _free_port() -> int:
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--bench", action="store_true",
+                    help="weak-scaling throughput arms (1 vs N processes, "
+                         "core-pinned) instead of the parity checks")
     ap.add_argument("--nproc", type=int, default=2)
     ap.add_argument("--devices-per-proc", type=int, default=2)
+    ap.add_argument("--trials-per-proc", type=int, default=16)
+    ap.add_argument("--bench-reps", type=int, default=3)
     ap.add_argument("--timeout", type=float, default=600.0)
     ap.add_argument("--logdir", default="/tmp")
     ap.add_argument("--out", default=os.path.join(REPO, "results",
                                                   "multiprocess_parity.json"))
     args = ap.parse_args()
+    if args.worker and args.bench:
+        sys.exit(worker_bench(args))
     if args.worker:
         sys.exit(worker_main(args))
+    if args.bench:
+        sys.exit(bench_orchestrate(args))
     sys.exit(orchestrate(args))
 
 
