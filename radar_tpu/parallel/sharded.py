@@ -115,7 +115,8 @@ def make_sharded_frame_processor(cfg: RadarConfig, mesh: Mesh,
         mask = cs(mask, repl)
         maps = cs(maps, repl)
         rdm = cs(rdm, repl)
-        dets = extract_detections(mask, maps, cfg.cfar.max_detections)
+        dets = extract_detections(mask, maps, cfg.cfar.max_detections,
+                                  impl=cfg.extract_impl)
         params = estimate_parameters(
             dets, maps, rdm, mc, ip.extra_dots, ip.r_interp_times,
             ip.v_interp_times, monopulse_complex=cfg.monopulse_complex)
