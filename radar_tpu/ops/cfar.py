@@ -241,6 +241,49 @@ def first_k_true_vgq(mask: jnp.ndarray, capacity: int
     return jnp.where(valid, idx, 0), valid
 
 
+def first_k_true_beams_major(mask: jnp.ndarray, capacity: int,
+                             layout: str = "qgv"
+                             ) -> tuple[jnp.ndarray, jnp.ndarray,
+                                        jnp.ndarray, jnp.ndarray]:
+    """Producer-layout first-K extraction for the kernel-tail masks:
+    ``layout="qgv"`` = [pairs, G, V], ``layout="qvg"`` = [pairs, V, G].
+    Rows are (pair, gate) pairs of width V in both cases — (q, g) are the
+    leading/outer coordinates of qgv and the row content of qvg is a
+    middle-axis column — so neither layout needs a bool relayout at all.
+    Returns (pair, r, v, valid) for the first ``capacity`` True cells in
+    (pair, range, velocity)-major order — bit-identical to
+    ``first_k_true_indices`` on the qgv ravel."""
+    if layout == "qgv":
+        num_q, num_g, num_v = mask.shape
+        row_counts = jnp.sum(mask, axis=2).astype(jnp.int32).ravel()
+        fetch = "cg,qgv->cqv"
+    else:
+        num_q, num_v, num_g = mask.shape
+        row_counts = jnp.sum(mask, axis=1).astype(jnp.int32).ravel()
+        fetch = "cg,qvg->cqv"
+    row_off = jnp.cumsum(row_counts) - row_counts                # [Q*G]
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    total = row_off[-1] + row_counts[-1]
+    valid = slots < jnp.minimum(total, capacity)
+    num_rows = num_q * num_g
+    r_s = (jnp.searchsorted(row_off, slots, side="right",
+                            method="compare_all") - 1).astype(jnp.int32)
+    r_s = jnp.clip(r_s, 0, num_rows - 1)
+    q_s = r_s // num_g
+    g_s = r_s % num_g
+    onehot_g = jax.nn.one_hot(g_s, num_g, dtype=jnp.bfloat16)   # [cap, G]
+    sel_g = jnp.einsum(fetch, onehot_g, mask.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)      # [cap,Q,V]
+    onehot_q = jax.nn.one_hot(q_s, num_q, dtype=jnp.float32)
+    rows_sel = jnp.einsum("cqv,cq->cv", sel_g, onehot_q)        # [cap, V]
+    within = jnp.cumsum(rows_sel, axis=1) - rows_sel
+    want = (slots - row_off[r_s]).astype(jnp.float32)
+    hit = (jnp.abs(within - want[:, None]) < 0.5) & (rows_sel > 0.5)
+    v_c = jnp.argmax(hit, axis=1).astype(jnp.int32)
+    return (jnp.where(valid, q_s, 0), jnp.where(valid, g_s, 0),
+            jnp.where(valid, v_c, 0), valid)
+
+
 def extract_detections(mask: jnp.ndarray, maps: jnp.ndarray | None,
                        capacity: int, native_scan: bool = False,
                        layout: str = "vgq", impl: str = "rowfetch",
@@ -291,6 +334,16 @@ def extract_detections(mask: jnp.ndarray, maps: jnp.ndarray | None,
             count=jnp.sum(mask).astype(jnp.int32),
         )
     if layout in ("qgv", "qvg"):
+        if impl == "direct":
+            pair, r, v, valid = first_k_true_beams_major(mask, capacity,
+                                                         layout)
+            amp = maps[pair, v, r] if layout == "qvg" else maps[pair, r, v]
+            zero = jnp.zeros((), maps.dtype)
+            return Detections(
+                v_idx=v.astype(jnp.int32), r_idx=r.astype(jnp.int32),
+                pair_idx=pair.astype(jnp.int32),
+                amp=jnp.where(valid, amp, zero), valid=valid,
+                count=jnp.sum(mask).astype(jnp.int32))
         if layout == "qvg":
             # fused-kernel map layout [pairs, V, G]: only the bool mask is
             # relaid to (pair, range, velocity)-major scan order (XLA fuses

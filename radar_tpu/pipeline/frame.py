@@ -172,7 +172,7 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
             mask, _ = goca_cfar_2d(maps_qvg, cfg.cfar, layout="qvg")
             dets = extract_detections(mask, maps_qvg,
                                       cfg.cfar.max_detections,
-                                      layout="qvg")
+                                      layout="qvg", impl=cfg.extract_impl)
             params = estimate_parameters(
                 dets, maps_qvg, rdm_bm, mc, ip.extra_dots,
                 ip.r_interp_times, ip.v_interp_times,
@@ -208,7 +208,8 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
                 mask, _ = goca_cfar_2d(maps_t, cfg.cfar, layout="qgv")
                 dets = extract_detections(mask, maps_t,
                                           cfg.cfar.max_detections,
-                                          layout="qgv")
+                                          layout="qgv",
+                                          impl=cfg.extract_impl)
                 params = estimate_parameters(
                     dets, maps_t, rdm_bm, mc, ip.extra_dots,
                     ip.r_interp_times, ip.v_interp_times,

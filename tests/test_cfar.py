@@ -210,3 +210,23 @@ def test_tail_from_rdm_in_pipeline():
     b = make_frame_processor(cfg.replace(tail_from_rdm=True))(key, tb)
     for fa, fb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_first_k_true_beams_major_matches_rowfetch():
+    """extract_impl='direct' on the kernel-tail layouts (qgv / qvg) is
+    bit-identical to the rowfetch path across densities, including
+    over-capacity — neither layout needs a bool relayout."""
+    rng = np.random.default_rng(3)
+    for layout in ("qgv", "qvg"):
+        for density, cap in [(0.0, 64), (1e-4, 64), (2e-3, 64), (0.4, 64)]:
+            shape = (6, 500, 48) if layout == "qgv" else (6, 48, 500)
+            mask = rng.random(shape) < density
+            maps = rng.uniform(1, 9, size=shape).astype(np.float32)
+            a = extract_detections(jnp.asarray(mask), jnp.asarray(maps),
+                                   cap, layout=layout)
+            b = extract_detections(jnp.asarray(mask), jnp.asarray(maps),
+                                   cap, layout=layout, impl="direct")
+            for f in a._fields:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+                    err_msg=f"{layout} d={density} {f}")
