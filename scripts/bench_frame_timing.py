@@ -55,6 +55,8 @@ def main():
     full_dt = time_cfg(perf_config(), "full_16ch_332p")
     scaled_dt = time_cfg(perf_config(scaled_config(64, 256)),
                          "scaled_64ch_256p")
+    scaled128_dt = time_cfg(perf_config(scaled_config(128, 332)),
+                            "scaled_128ch_332p")
 
     path = os.path.join(os.path.dirname(__file__), "..", "results",
                         "frame_timing.json")
@@ -72,6 +74,12 @@ def main():
         "frames_per_s": round(1.0 / scaled_dt, 1),
         "note": ("perf config; channels only enter the [K,C]x[C,B] "
                  "steering contraction in the lowrank path"),
+    }
+    data["scaled_128ch_332p"] = {
+        "frame_ms": round(1e3 * scaled128_dt, 2),
+        "frames_per_s": round(1.0 / scaled128_dt, 1),
+        "note": ("128-element array, full pulse count, synthesized "
+                 "Hamming bank + self-calibrated K slopes"),
     }
     h = data.setdefault("history_ms", {})
     h["after_pallas_noise_rdm_kernel"] = 4.8
