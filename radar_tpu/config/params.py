@@ -224,9 +224,14 @@ class RadarConfig:
     # tail runs on the qvg layout (only the bool mask is relaid to the
     # reference scan order). sqrt(re^2+im^2) vs abs(complex): ULP-level.
     kernel_maps: bool = False
-    # Use the fused Pallas pair-sum+CFAR kernel (ops/pallas_kernels.py)
-    # instead of the jnp formulation; TPU only (interpret-mode on CPU is for
-    # tests, not speed)
+    # Run the 2D GOCA-CFAR as a standalone Pallas kernel over qvg pair-sum
+    # maps (ops/pallas_kernels.py::goca_cfar_qvg_pallas): the kernel reads
+    # each map cell ~1.5x and writes only the 1-byte mask + the
+    # extraction's row counts, vs XLA's halo-amplified fused-loop re-reads;
+    # the detection tail runs the qvg layout. Detections bit-identical to
+    # the jnp formulation (same fp add order). Takes precedence over
+    # tail_from_rdm. TPU only (interpret-mode on CPU is for tests, not
+    # speed).
     use_pallas_cfar: bool = False
     # AWGN backend: "threefry" (jax.random, bit-reproducible across
     # backends, measured fastest on v5e) or "pallas" (fused on-core

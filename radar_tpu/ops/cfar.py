@@ -242,7 +242,8 @@ def first_k_true_vgq(mask: jnp.ndarray, capacity: int
 
 
 def first_k_true_beams_major(mask: jnp.ndarray, capacity: int,
-                             layout: str = "qgv"
+                             layout: str = "qgv",
+                             row_counts: jnp.ndarray | None = None
                              ) -> tuple[jnp.ndarray, jnp.ndarray,
                                         jnp.ndarray, jnp.ndarray]:
     """Producer-layout first-K extraction for the kernel-tail masks:
@@ -252,15 +253,23 @@ def first_k_true_beams_major(mask: jnp.ndarray, capacity: int,
     middle-axis column — so neither layout needs a bool relayout at all.
     Returns (pair, r, v, valid) for the first ``capacity`` True cells in
     (pair, range, velocity)-major order — bit-identical to
-    ``first_k_true_indices`` on the qgv ravel."""
+    ``first_k_true_indices`` on the qgv ravel.
+
+    ``row_counts``: optional precomputed per-(pair, gate) True counts
+    ([Q, G] or flat [Q*G], e.g. emitted by the Pallas CFAR kernel) —
+    skips the mask reduction here so the mask is read only once, by the
+    row-fetch contraction."""
     if layout == "qgv":
         num_q, num_g, num_v = mask.shape
-        row_counts = jnp.sum(mask, axis=2).astype(jnp.int32).ravel()
+        if row_counts is None:
+            row_counts = jnp.sum(mask, axis=2).astype(jnp.int32)
         fetch = "cg,qgv->cqv"
     else:
         num_q, num_v, num_g = mask.shape
-        row_counts = jnp.sum(mask, axis=1).astype(jnp.int32).ravel()
+        if row_counts is None:
+            row_counts = jnp.sum(mask, axis=1).astype(jnp.int32)
         fetch = "cg,qvg->cqv"
+    row_counts = row_counts.astype(jnp.int32).ravel()
     row_off = jnp.cumsum(row_counts) - row_counts                # [Q*G]
     slots = jnp.arange(capacity, dtype=jnp.int32)
     total = row_off[-1] + row_counts[-1]
@@ -287,7 +296,8 @@ def first_k_true_beams_major(mask: jnp.ndarray, capacity: int,
 def extract_detections(mask: jnp.ndarray, maps: jnp.ndarray | None,
                        capacity: int, native_scan: bool = False,
                        layout: str = "vgq", impl: str = "rowfetch",
-                       rdm: jnp.ndarray | None = None) -> Detections:
+                       rdm: jnp.ndarray | None = None,
+                       row_counts: jnp.ndarray | None = None) -> Detections:
     """Turn a boolean detection cube into a fixed-capacity index list
     ordered (pair, range, velocity)-major.
 
@@ -336,14 +346,16 @@ def extract_detections(mask: jnp.ndarray, maps: jnp.ndarray | None,
     if layout in ("qgv", "qvg"):
         if impl == "direct":
             pair, r, v, valid = first_k_true_beams_major(mask, capacity,
-                                                         layout)
+                                                         layout, row_counts)
             amp = maps[pair, v, r] if layout == "qvg" else maps[pair, r, v]
             zero = jnp.zeros((), maps.dtype)
+            count = (jnp.sum(mask) if row_counts is None
+                     else jnp.sum(row_counts)).astype(jnp.int32)
             return Detections(
                 v_idx=v.astype(jnp.int32), r_idx=r.astype(jnp.int32),
                 pair_idx=pair.astype(jnp.int32),
                 amp=jnp.where(valid, amp, zero), valid=valid,
-                count=jnp.sum(mask).astype(jnp.int32))
+                count=count)
         if layout == "qvg":
             # fused-kernel map layout [pairs, V, G]: only the bool mask is
             # relaid to (pair, range, velocity)-major scan order (XLA fuses

@@ -111,6 +111,143 @@ def _cfar_kernel(mag_hbm, mask_ref, thr_ref, scr_a, scr_b, sem_a, sem_b, *,
     thr_ref[0] = threshold[:, HALO:HALO + GATE_TILE]
 
 
+def _cfar_maps_kernel(maps_hbm, mask_ref, rc_ref, scr, sem, *,
+                      params: CfarParams, num_gates: int, num_v_real: int,
+                      tile: int):
+    """Per-(pair, gate-tile) CFAR on pre-summed qvg maps.
+
+    maps_hbm: [Q, V, G_padded] with ``HALO`` zero columns on the left and
+    zero fill on the right — the zero boundary semantics of the jnp
+    formulation (ops/cfar.py::_shifted) hold exactly, so the mask is
+    bit-identical (same fp add order as lead_trail_means). Emits the bool
+    mask tile and its per-gate detection row counts (the first-K
+    extraction's row_counts reduction, fused here instead of re-reading
+    the mask from HBM)."""
+    q = pl.program_id(0)
+    j = pl.program_id(1)
+    start = j * tile  # window [start, start + tile + 2*HALO) in padded G
+
+    copy = pltpu.make_async_copy(
+        maps_hbm.at[q, :, pl.ds(start, tile + 2 * HALO)], scr, sem)
+    copy.start()
+    copy.wait()
+
+    x = scr[...]  # [V, tile+2H] pair-sum window
+
+    lead_r = jnp.zeros_like(x)
+    trail_r = jnp.zeros_like(x)
+    for k in range(params.guard_cells_r + 1,
+                   params.guard_cells_r + params.ref_cells_r + 1):
+        lead_r = lead_r + _shift2d(x, k, axis=1)
+        trail_r = trail_r + _shift2d(x, -k, axis=1)
+    noise_r = _combine(lead_r / params.ref_cells_r,
+                       trail_r / params.ref_cells_r, params.method)
+
+    lead_v = jnp.zeros_like(x)
+    trail_v = jnp.zeros_like(x)
+    for k in range(params.guard_cells_v + 1,
+                   params.guard_cells_v + params.ref_cells_v + 1):
+        lead_v = lead_v + _shift2d(x, k, axis=0)
+        trail_v = trail_v + _shift2d(x, -k, axis=0)
+    noise_v = _combine(lead_v / params.ref_cells_v,
+                       trail_v / params.ref_cells_v, params.method)
+
+    threshold = params.threshold_factor * jnp.maximum(noise_r, noise_v)
+
+    border_r = params.ref_cells_r + params.guard_cells_r
+    border_v = params.ref_cells_v + params.guard_cells_v
+    # un-padded global gate index of each window column; Doppler rows past
+    # num_v_real are sublane padding and always invalid
+    col = (jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+           + start - HALO)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    valid = ((col >= border_r) & (col < num_gates - border_r)
+             & (row >= border_v) & (row < num_v_real - border_v))
+
+    hit = (x > threshold) & valid
+    center = hit[:, HALO:HALO + tile]
+    mask_ref[0] = center
+    # rc block is (1, 8, tile): Mosaic requires a sublane-multiple block,
+    # so the [tile] count vector is broadcast across 8 sublanes (1.4 MB
+    # total at full size); the caller keeps row 0
+    rc_ref[0] = jnp.broadcast_to(
+        jnp.sum(center.astype(jnp.int32), axis=0, keepdims=True), (8, tile))
+
+
+@functools.partial(jax.jit, static_argnames=("params", "num_gates",
+                                             "num_v", "interpret"))
+def goca_cfar_qvg_pallas(maps_padded: jnp.ndarray, params: CfarParams,
+                         num_gates: int, num_v: int,
+                         interpret: bool = False):
+    """2D GOCA-CFAR over qvg pair-sum maps, mask + row counts out.
+
+    maps_padded: [pairs, V_pad, G_pad] real sum maps whose gate axis
+    carries ``HALO`` zero columns on the left and zero fill up to
+    ``HALO + n_tiles*GATE_TILE + HALO`` on the right, and whose Doppler
+    axis is zero-filled to a sublane multiple (build with
+    :func:`pad_maps_qvg`). ``num_v`` is the real Doppler bin count.
+    Returns
+
+      - mask  bool  [pairs, V, n_tiles*GATE_TILE] — bit-identical to
+        ``goca_cfar_2d(maps, params, layout="qvg")[0]`` on the un-padded
+        gate range (padded columns are always False),
+      - rc    int32 [pairs, n_tiles*GATE_TILE] — per-(pair, gate) True
+        counts, i.e. exactly the ``row_counts`` reduction of
+        ops.cfar.first_k_true_beams_major(layout="qvg").
+
+    Unlike :func:`goca_cfar_2d_pallas` there is no input transpose, no
+    output relayout, and no dead threshold write — the kernel reads each
+    map cell ~(1 + 2*HALO/GATE_TILE)x and writes only the 1-byte mask, so
+    it is traffic-bound near the maps-read floor instead of XLA's
+    halo-amplified fused-loop re-reads (see results/pallas_cfar_ab.json).
+    Reference semantics: fun_process_single_frame.m:192-213.
+    """
+    n_pairs, v_padded, g_pad = maps_padded.shape
+    n_tiles = (g_pad - 2 * HALO) // GATE_TILE
+    assert g_pad == n_tiles * GATE_TILE + 2 * HALO and v_padded % 8 == 0, \
+        "pad maps with pad_maps_qvg()"
+    kernel = functools.partial(_cfar_maps_kernel, params=params,
+                               num_gates=num_gates, num_v_real=num_v,
+                               tile=GATE_TILE)
+    mask, rc = pl.pallas_call(
+        kernel,
+        grid=(n_pairs, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, v_padded, GATE_TILE), lambda q, j: (q, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, GATE_TILE), lambda q, j: (q, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pairs, v_padded, n_tiles * GATE_TILE),
+                                 jnp.bool_),
+            jax.ShapeDtypeStruct((n_pairs, 8, n_tiles * GATE_TILE),
+                                 jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((v_padded, GATE_TILE + 2 * HALO), maps_padded.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(maps_padded)
+    return mask[:, :num_v, :], rc[:, 0, :]
+
+
+def pad_maps_qvg(maps_qvg: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad qvg maps for :func:`goca_cfar_qvg_pallas`: HALO columns on
+    the left of the gate axis, fill to HALO + ceil(G/GATE_TILE)*GATE_TILE
+    + HALO total, Doppler axis to a sublane multiple. Applied right after
+    the elementwise pair-sum producer so XLA fuses the pad into it (one
+    write, no copy)."""
+    num_v, num_g = maps_qvg.shape[1:]
+    n_tiles = -(-num_g // GATE_TILE)
+    g_pad = n_tiles * GATE_TILE + 2 * HALO
+    v_padded = -(-num_v // 8) * 8
+    return jnp.pad(maps_qvg, ((0, 0), (0, v_padded - num_v),
+                              (HALO, g_pad - num_g - HALO)))
+
+
 @functools.partial(jax.jit, static_argnames=("params", "interpret"))
 def goca_cfar_2d_pallas(mag: jnp.ndarray, params: CfarParams,
                         interpret: bool = False):

@@ -157,6 +157,13 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
             warnings.warn(
                 "cfg.kernel_maps takes precedence over "
                 "cfg.beams_major_tail (both set)", stacklevel=2)
+    elif cfg.use_pallas_cfar and cfg.tail_from_rdm:
+        import warnings
+
+        warnings.warn(
+            "cfg.use_pallas_cfar takes precedence over cfg.tail_from_rdm "
+            "(both set): the Pallas-CFAR tail always materializes the qvg "
+            "pair-sum maps", stacklevel=2)
 
     def process(key, targets: TargetBatch):
         if lowrank and km and lr.noise_rdm_sig is not None:
@@ -254,15 +261,47 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
                    if mtd_mat is not None
                    else mtd(pc, mtd_win, cfg.mtd_fft_len))
         if cfg.use_pallas_cfar:
-            from ..ops.pallas_kernels import goca_cfar_2d_pallas
+            # standalone Pallas CFAR on qvg maps: the pair-sum maps are
+            # produced directly in the kernel's [pairs, V, G] layout (XLA
+            # fuses the transpose + pad into the elementwise producer, cf.
+            # the beams-major-tail study), the kernel emits the bool mask
+            # plus the extraction's per-(pair, gate) row counts, and the
+            # whole detection tail runs the existing qvg machinery —
+            # detections are bit-identical to the default path
+            from ..ops.pallas_kernels import (HALO, goca_cfar_qvg_pallas,
+                                              pad_maps_qvg)
 
-            mag = jnp.transpose(jnp.abs(rdm), (2, 0, 1))
-            mask, _ = goca_cfar_2d_pallas(
-                mag, cfg.cfar, interpret=jax.default_backend() == "cpu")
-            maps = pair_sum_maps(rdm)
-        else:
-            maps = pair_sum_maps(rdm)
-            mask, _ = goca_cfar_2d(maps, cfg.cfar)
+            num_v, num_g = rdm.shape[0], rdm.shape[1]
+            mag_q = jnp.abs(jnp.transpose(rdm, (2, 0, 1)))    # [B, V, G]
+            maps_qp = pad_maps_qvg(mag_q[:-1] + mag_q[1:])
+            direct = cfg.extract_impl == "direct" and not cfg.extract_native_scan
+            mask, rc = goca_cfar_qvg_pallas(
+                maps_qp, cfg.cfar, num_g, num_v,
+                interpret=jax.default_backend() == "cpu")
+            maps_q = maps_qp[:, :num_v, HALO:HALO + num_g]    # [Q, V, G]
+            dets = extract_detections(mask, maps_q,
+                                      cfg.cfar.max_detections,
+                                      layout="qvg", impl=cfg.extract_impl,
+                                      row_counts=rc if direct else None)
+            params = estimate_parameters(
+                dets, maps_q, rdm, mc, ip.extra_dots,
+                ip.r_interp_times, ip.v_interp_times,
+                monopulse_complex=cfg.monopulse_complex,
+                maps_layout="qvg")
+            s1 = cluster_stage1(params, cfg.cluster)
+            final = cluster_stage2(s1, cfg.cluster)
+            result = FrameResult(targets=final,
+                                 num_raw_detections=dets.count,
+                                 num_final=final.count.astype(jnp.int32))
+            if return_intermediates:
+                return FrameIntermediates(
+                    raw_iq=noisy, beams=beams, pc=pc, rdm=rdm,
+                    pair_maps=jnp.transpose(maps_q, (1, 2, 0)),
+                    detections=dets, params=params, stage1=s1,
+                    result=result)
+            return result
+        maps = pair_sum_maps(rdm)
+        mask, _ = goca_cfar_2d(maps, cfg.cfar)
         # maps-free tail: amplitudes/stencils gather pointwise from the
         # RDM (identical values); the pair-sum cube then feeds ONLY the
         # CFAR box filters, so XLA can fuse it away instead of writing it

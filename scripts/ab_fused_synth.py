@@ -86,6 +86,8 @@ def main():
             kw["noise_dist"] = "uniform"
         if "bmtail" in v:
             kw["beams_major_tail"] = True
+        if "pcfar" in v:   # standalone Pallas qvg-maps CFAR kernel
+            kw["use_pallas_cfar"] = True
         dts[v] = time_variant(cfg.replace(**kw) if kw else cfg, targets, v)
     if len(dts) > 1:
         base = list(dts.values())[0]

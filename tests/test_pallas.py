@@ -51,6 +51,34 @@ def test_pallas_cfar_in_pipeline_shape():
     assert thr.shape == (40, 512, 4)
 
 
+@pytest.mark.parametrize("method", ["GOCA", "CA"])
+def test_pallas_cfar_qvg_matches_jnp(method):
+    """Standalone qvg-maps CFAR kernel: mask bit-identical to the jnp
+    formulation, padded gate columns always False, row counts exact."""
+    from radar_tpu.ops.pallas_kernels import (goca_cfar_qvg_pallas,
+                                              pad_maps_qvg)
+
+    rng = np.random.default_rng(2)
+    num_q, num_v, num_g = 3, 48, 700  # 700: not a GATE_TILE multiple
+    maps = rng.exponential(size=(num_q, num_v, num_g)).astype(np.float32)
+    for _ in range(10):
+        q = rng.integers(0, num_q)
+        v = rng.integers(8, num_v - 8)
+        g = rng.integers(16, num_g - 16)
+        maps[q, v, g] += 60.0
+    params = CfarParams(ref_cells_v=3, guard_cells_v=4, ref_cells_r=5,
+                        guard_cells_r=10, method=method)
+
+    mask, rc = goca_cfar_qvg_pallas(pad_maps_qvg(jnp.asarray(maps)),
+                                    params, num_g, num_v, interpret=True)
+    mask_j, _ = goca_cfar_2d(jnp.asarray(maps), params, layout="qvg")
+    mask = np.asarray(mask)
+    np.testing.assert_array_equal(mask[:, :, :num_g], np.asarray(mask_j))
+    assert mask[:, :, num_g:].sum() == 0
+    np.testing.assert_array_equal(np.asarray(rc), mask.sum(axis=1))
+    assert mask.sum() >= 10
+
+
 def test_pallas_pc_matches_matmul_plan():
     """Banded-conv Pallas PC (studies/pallas_pc.py, interpret mode): exact match
     with the XLA banded-Toeplitz plan on the same compact white noise."""
