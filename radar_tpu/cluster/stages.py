@@ -47,19 +47,23 @@ def _modal_pair_idx(labels: jnp.ndarray, valid: jnp.ndarray,
                     pair_idx: jnp.ndarray) -> jnp.ndarray:
     """Per-cluster mode of the member pair indices, at representative
     slots (mode([detections_in_cluster.PairIndex]), _v7_7.m:766). MATLAB
-    ``mode`` tie-breaks to the SMALLEST value; reproduced by scoring each
-    member by (its pair's member count, then -pair value) and taking the
-    argmax over members — fixed [cap, cap] shapes, no histogram width."""
+    ``mode`` tie-breaks to the SMALLEST value; reproduced exactly with a
+    two-level reduction over members (max count, then min pair among
+    count-maximal members) — fixed [cap, cap] shapes, no histogram width,
+    and no bound assumed on the pair-index values."""
     n = labels.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     member = (labels[None, :] == idx[:, None]) & valid[None, :]  # [n, n]
     same_pair = (pair_idx[None, :] == pair_idx[:, None]).astype(jnp.float32)
     # counts[i, j] = members of cluster i sharing member j's pair index
     counts = member.astype(jnp.float32) @ same_pair            # [n, n]
-    score = jnp.where(member, counts * 4096.0
-                      - pair_idx[None, :].astype(jnp.float32), -1.0)
-    best = jnp.argmax(score, axis=1)
-    return pair_idx[best].astype(jnp.int32)
+    # counts holds exact small integers, so the == against the row max is
+    # exact; among the count-maximal members take the smallest pair value
+    cmax = jnp.max(jnp.where(member, counts, -1.0), axis=1, keepdims=True)
+    at_max = member & (counts == cmax)
+    big = jnp.iinfo(jnp.int32).max
+    return jnp.min(jnp.where(at_max, pair_idx[None, :].astype(jnp.int32),
+                             big), axis=1)
 
 
 def cluster_stage1(dets: ParamDetections,

@@ -101,6 +101,16 @@ class CfarParams:
     method: str = "GOCA"  # one of GOCA | CA | SO (per-dim combine rule)
     # Fixed detection capacity for jit-static shapes (SURVEY.md section 7.4).
     max_detections: int = 512
+    # Window-mean formulation for the RANGE axis (the 3404-gate axis, where
+    # the work is): "shift" = statically-unrolled VPU shift-adds, exactly
+    # the oracle's fp order (cell-exact tests); "matmul" = blocked
+    # banded-stencil MXU matmul (the ops/pulse_compression.py trick applied
+    # to the box filters) — same means up to f32 summation order (~1 ULP),
+    # so individual mask cells sitting within float rounding of the
+    # threshold may flip; Pfa is re-validated for this variant in
+    # results/pfa_calibration.json. The short Doppler axis always uses
+    # shift-adds.
+    means_impl: str = "shift"
 
 
 @dataclasses.dataclass(frozen=True)

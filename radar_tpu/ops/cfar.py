@@ -29,6 +29,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config.params import CfarParams
 
@@ -64,6 +65,63 @@ def lead_trail_means(x: jnp.ndarray, guard: int, ref: int,
         lead = lead + _shifted(x, k, axis)
         trail = trail + _shifted(x, -k, axis)
     return lead / ref, trail / ref
+
+
+def _banded_means_matrix(guard: int, ref: int, tile: int) -> "np.ndarray":
+    """[tile + 2*halo, 2*tile] banded stencil: columns 0..tile-1 produce the
+    lead window means, tile..2*tile-1 the trail means, for one ``tile``-wide
+    output block whose input window carries ``halo = guard + ref`` extra
+    cells on each side."""
+    halo = guard + ref
+    # f64 master copy; cast to the map dtype at use (so the f64 parity
+    # tests see full precision and the f32 pipeline sees f32 constants)
+    w = np.zeros((tile + 2 * halo, 2 * tile), np.float64)
+    inv = 1.0 / ref
+    for j in range(tile):
+        for k in range(guard + 1, guard + ref + 1):
+            w[j + halo - k, j] = inv              # lead:  x[i - k]
+            w[j + halo + k, tile + j] = inv       # trail: x[i + k]
+    return w
+
+
+def lead_trail_means_matmul(x: jnp.ndarray, guard: int, ref: int, axis: int,
+                            tile: int = 128,
+                            precision=None) -> tuple[jnp.ndarray,
+                                                     jnp.ndarray]:
+    """MXU formulation of :func:`lead_trail_means`: the window-sum box
+    filters as a blocked banded-stencil matmul (the same restructuring
+    ops/pulse_compression.py uses for the matched filter, applied to the
+    CFAR reference windows; ref fun_process_single_frame.m:192-213 computes
+    these means with per-cell loops).
+
+    Each ``tile``-wide output block contracts a ``tile + 2*(guard+ref)``
+    input window against one constant [window, 2*tile] matrix — both lead
+    and trail means of a block come out of a single MXU pass. Cost is
+    ``2 * (tile + 2*halo)`` MACs per cell (~4.3 GMAC at the full frame
+    size with tile=128), traded against :func:`lead_trail_means`'s
+    ``2*ref`` VPU add-passes over the whole cube.
+
+    Equal to :func:`lead_trail_means` up to f32 summation order: the MXU
+    accumulates each window in one pass, the shift-add formulation in
+    ``ref`` ordered adds. Zero fill at the borders is identical.
+    """
+    halo = guard + ref
+    xm = jnp.moveaxis(x, axis, -1)
+    n = xm.shape[-1]
+    n_tiles = -(-n // tile)
+    pad_r = n_tiles * tile - n + halo
+    xp = jnp.pad(xm, [(0, 0)] * (xm.ndim - 1) + [(halo, pad_r)])
+    blocks = jnp.stack(
+        [jax.lax.slice_in_dim(xp, t * tile, t * tile + tile + 2 * halo,
+                              axis=-1) for t in range(n_tiles)], axis=-2)
+    w = _banded_means_matrix(guard, ref, tile)
+    y = jnp.einsum("...tm,ml->...tl", blocks, jnp.asarray(w, x.dtype),
+                   precision=precision,
+                   preferred_element_type=x.dtype)   # [..., n_tiles, 2*tile]
+    flat = xm.shape[:-1] + (n_tiles * tile,)
+    lead = y[..., :tile].reshape(flat)[..., :n]
+    trail = y[..., tile:].reshape(flat)[..., :n]
+    return (jnp.moveaxis(lead, -1, axis), jnp.moveaxis(trail, -1, axis))
 
 
 def _combine(lead: jnp.ndarray, trail: jnp.ndarray, method: str) -> jnp.ndarray:
@@ -104,8 +162,12 @@ def goca_noise_and_valid(maps: jnp.ndarray, params: CfarParams,
     computation."""
     r_axis, v_axis = {"vgq": (1, 0), "qgv": (1, 2),
                       "qvg": (2, 1)}[layout]
-    lead_r, trail_r = lead_trail_means(maps, params.guard_cells_r,
-                                       params.ref_cells_r, axis=r_axis)
+    if params.means_impl == "matmul":
+        lead_r, trail_r = lead_trail_means_matmul(
+            maps, params.guard_cells_r, params.ref_cells_r, axis=r_axis)
+    else:
+        lead_r, trail_r = lead_trail_means(maps, params.guard_cells_r,
+                                           params.ref_cells_r, axis=r_axis)
     noise_r = _combine(lead_r, trail_r, params.method)
     lead_v, trail_v = lead_trail_means(maps, params.guard_cells_v,
                                        params.ref_cells_v, axis=v_axis)

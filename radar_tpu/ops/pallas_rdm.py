@@ -234,7 +234,7 @@ def _make_kernel(p_pad: int, v_pad: int, window: int, num_b: int,
 
 
 def _draw_uniform_chunk(seed_ref, b, c, p_pad: int, pad_front: int,
-                        a_scale: float, bits16: bool = False):
+                        a_scale: float):
     """One 128-lane chunk of U[-a, a) re/im rails from the on-core
     hardware PRNG, keyed by (frame seed, segment, beam, ABSOLUTE chunk
     index) — so any window that covers chunk ``c`` regenerates the exact
@@ -243,17 +243,6 @@ def _draw_uniform_chunk(seed_ref, b, c, p_pad: int, pad_front: int,
     ops/pallas_noise.py); the first ``pad_front`` samples (pre-PRT causal
     history) are zeroed. Returns (re, im) f32 [p_pad, 128] planes.
 
-    ``bits16``: draw HALF the PRNG words — one 32-bit word yields the re
-    rail from its low 16 bits and the im rail from its high 16 bits
-    (disjoint bit fields of iid random bits are independent). The rails
-    are uniform on a 65536-level grid: still exactly zero-mean with
-    var a^2/3 (1 - 2^-32); every draw is contracted through >= 10k
-    weighted terms before the first nonlinearity, so by the same CLT
-    argument as cfg.noise_dist="uniform" the noise RDM keeps Gaussian
-    statistics to the same order (grid quantization only perturbs moments
-    at 2^-32). Statistically validated like the 24-bit rails
-    (results/rdm_gen.json, snr_sweep_rails16_lo.json).
-
     Mosaic accepts at most TWO seed words, so (beam, chunk) fold into the
     second via a Knuth multiplicative hash of the unique index b*2^16+c
     (c < 2^16 always); the segment id is folded into the first word at
@@ -261,25 +250,6 @@ def _draw_uniform_chunk(seed_ref, b, c, p_pad: int, pad_front: int,
     pltpu.prng_seed(seed_ref[0],
                     seed_ref[1] + (b * np.int32(65536) + c)
                     * np.int32(-1640531527))
-    if bits16:
-        bits = pltpu.bitcast(pltpu.prng_random_bits((p_pad, 128)),
-                             jnp.uint32)
-        # Mosaic has no uint32->f32 cast; both halves fit in int32
-        lo = pltpu.bitcast(bits & np.uint32(0xFFFF),
-                           jnp.int32).astype(jnp.float32)
-        hi = pltpu.bitcast(bits >> 16, jnp.int32).astype(jnp.float32)
-        # (k + 0.5 - 2^15) * 2a/2^16: exactly zero-mean, var a^2/3
-        half = np.float32(2.0 ** 15 - 0.5)
-        scale = np.float32(2.0 * a_scale * 2.0 ** -16)
-        ur = (lo - half) * scale
-        ui = (hi - half) * scale
-        if pad_front:
-            pos = c * 128 + jax.lax.broadcasted_iota(jnp.int32,
-                                                     (p_pad, 128), 1)
-            m = (pos >= pad_front).astype(jnp.float32)
-            ur = ur * m
-            ui = ui * m
-        return ur, ui
     bits = pltpu.bitcast(pltpu.prng_random_bits((p_pad, 256)), jnp.uint32)
     # Mosaic has no uint32->f32 cast; >>8 fits in int32, bitcast first.
     k24 = pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32)

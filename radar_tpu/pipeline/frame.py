@@ -157,13 +157,27 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
             warnings.warn(
                 "cfg.kernel_maps takes precedence over "
                 "cfg.beams_major_tail (both set)", stacklevel=2)
-    elif cfg.use_pallas_cfar and cfg.tail_from_rdm:
+    elif cfg.use_pallas_cfar:
+        import warnings
+
+        if cfg.tail_from_rdm:
+            warnings.warn(
+                "cfg.use_pallas_cfar takes precedence over cfg.tail_from_rdm "
+                "(both set): the Pallas-CFAR tail always materializes the qvg "
+                "pair-sum maps", stacklevel=2)
+        if cfg.extract_native_scan:
+            warnings.warn(
+                "cfg.extract_native_scan is ignored when cfg.use_pallas_cfar "
+                "is set: the qvg tail has no native-scan extraction",
+                stacklevel=2)
+    elif cfg.tail_from_rdm and (cfg.extract_impl != "direct"
+                                or cfg.extract_native_scan):
         import warnings
 
         warnings.warn(
-            "cfg.use_pallas_cfar takes precedence over cfg.tail_from_rdm "
-            "(both set): the Pallas-CFAR tail always materializes the qvg "
-            "pair-sum maps", stacklevel=2)
+            "cfg.tail_from_rdm is ignored unless extract_impl='direct' and "
+            "extract_native_scan=False: falling back to the materialized-"
+            "maps tail", stacklevel=2)
 
     def process(key, targets: TargetBatch):
         if lowrank and km and lr.noise_rdm_sig is not None:

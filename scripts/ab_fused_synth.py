@@ -88,6 +88,10 @@ def main():
             kw["beams_major_tail"] = True
         if "pcfar" in v:   # standalone Pallas qvg-maps CFAR kernel
             kw["use_pallas_cfar"] = True
+        if "mcfar" in v:   # MXU banded-stencil CFAR window means
+            import dataclasses
+
+            kw["cfar"] = dataclasses.replace(cfg.cfar, means_impl="matmul")
         dts[v] = time_variant(cfg.replace(**kw) if kw else cfg, targets, v)
     if len(dts) > 1:
         base = list(dts.values())[0]

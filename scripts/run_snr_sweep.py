@@ -24,6 +24,12 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=100)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--channels", type=int, default=None,
+                    help="use scaled_config(channels, pulses) — BASELINE "
+                         "config 3 is --channels 64 --pulses 256 (the "
+                         "synthesized Hamming bank + self-calibrated K "
+                         "slopes, config/assets.py)")
+    ap.add_argument("--pulses", type=int, default=256)
     ap.add_argument("--fused", action="store_true",
                     help="fused synth+DBF beam-space path "
                          "(cfg.fused_synth_dbf)")
@@ -61,7 +67,12 @@ def main() -> None:
 
     start, step, stop = (float(x) for x in args.snr.split(":"))
     snr_vec = np.arange(start, stop + 1e-9, step)
-    cfg = small_test_config() if args.small else full_config()
+    from radar_tpu.config.params import scaled_config
+
+    if args.channels is not None:
+        cfg = scaled_config(channels=args.channels, pulses=args.pulses)
+    else:
+        cfg = small_test_config() if args.small else full_config()
     if args.fused:
         cfg = cfg.replace(fused_synth_dbf=True)
     if args.bf16:
@@ -95,7 +106,9 @@ def main() -> None:
 
         with open(args.json, "w") as fh:
             json.dump({
-                "config": "small" if args.small else "full",
+                "config": (f"scaled {args.channels}ch x {args.pulses}p"
+                           if args.channels is not None
+                           else "small" if args.small else "full"),
                 "pipeline": {"fused": args.fused, "lowrank": args.lowrank,
                              "bf16": args.bf16, "rbg": args.rbg},
                 "snr_db": [float(x) for x in res.snr_db],

@@ -230,3 +230,46 @@ def test_first_k_true_beams_major_matches_rowfetch():
                 np.testing.assert_array_equal(
                     np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
                     err_msg=f"{layout} d={density} {f}")
+
+
+def test_cfar_matmul_means_variant():
+    """The MXU banded-stencil window means (CfarParams.means_impl='matmul')
+    reproduce the shift-add masks everywhere except cells within float
+    rounding of the threshold (f32 summation-order tolerance, documented on
+    lead_trail_means_matmul). In f64 test precision no cell sits that close
+    for seeded data, so the masks are identical."""
+    from radar_tpu.ops.cfar import lead_trail_means, lead_trail_means_matmul
+
+    rng = np.random.default_rng(23)
+    maps = jnp.asarray(_planted_maps(rng, num_v=40, num_r=300, pairs=4))
+    l1, t1 = lead_trail_means(maps, 10, 5, axis=1)
+    l2, t2 = lead_trail_means_matmul(maps, 10, 5, axis=1)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t1),
+                               rtol=1e-12, atol=1e-12)
+
+    params = CfarParams(ref_cells_v=3, guard_cells_v=4, ref_cells_r=5,
+                        guard_cells_r=10, threshold_factor=8.0)
+    mask_s, _ = goca_cfar_2d(maps, params)
+    mask_m, _ = goca_cfar_2d(maps, params.__class__(**{
+        **params.__dict__, "means_impl": "matmul"}))
+    np.testing.assert_array_equal(np.asarray(mask_m), np.asarray(mask_s))
+
+
+def test_cfar_matmul_means_layouts():
+    """means_impl='matmul' handles every map layout the detector accepts."""
+    rng = np.random.default_rng(29)
+    maps = jnp.asarray(_planted_maps(rng, num_v=32, num_r=150, pairs=3))
+    params = CfarParams(ref_cells_v=3, guard_cells_v=4, ref_cells_r=5,
+                        guard_cells_r=10, threshold_factor=8.0,
+                        means_impl="matmul")
+    ref, _ = goca_cfar_2d(maps, params)                       # vgq
+    got_qgv, _ = goca_cfar_2d(jnp.transpose(maps, (2, 1, 0)), params,
+                              layout="qgv")
+    got_qvg, _ = goca_cfar_2d(jnp.transpose(maps, (2, 0, 1)), params,
+                              layout="qvg")
+    np.testing.assert_array_equal(np.asarray(got_qgv),
+                                  np.transpose(np.asarray(ref), (2, 1, 0)))
+    np.testing.assert_array_equal(np.asarray(got_qvg),
+                                  np.transpose(np.asarray(ref), (2, 0, 1)))

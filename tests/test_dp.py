@@ -1,0 +1,100 @@
+"""Data-parallel perf-path execution (parallel/dp.py) on the 8-virtual-CPU
+mesh: shard_map over the dp axis must reproduce the single-device fused
+pipeline bit-for-bit — the multi-device story for the flagship Pallas
+kernel path (the reference's parfor trial boundary,
+main_plot_snr_vs_angle_error.m:167)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radar_tpu.config.params import perf_config, small_test_config
+from radar_tpu.parallel.dp import (make_dp_frame_processor,
+                                   make_dp_trial_fn)
+from radar_tpu.parallel.mesh import make_mesh
+from radar_tpu.pipeline.frame import make_frame_processor
+from radar_tpu.pipeline.montecarlo import _first_valid_angle
+from radar_tpu.sim.scenario import TargetBatch
+from radar_tpu.waveform.precompute import precompute
+
+
+def _batched_targets(n):
+    """n distinct single-target scenes stacked on a leading batch axis."""
+    r = 3000.0 + 500.0 * np.arange(n)
+    return TargetBatch(
+        range_m=jnp.asarray(r[:, None], jnp.float32),
+        velocity_ms=jnp.asarray(np.full((n, 1), 12.0), jnp.float32),
+        elevation_deg=jnp.asarray(np.full((n, 1), 9.0), jnp.float32),
+        snr_db=jnp.asarray(np.full((n, 1), 20.0), jnp.float32),
+    )
+
+
+def _keys(n, seed=0):
+    return np.asarray(jax.vmap(jax.random.fold_in, (None, 0))(
+        jax.random.PRNGKey(seed), jnp.arange(n)))
+
+
+@pytest.mark.parametrize(
+    "pallas", [pytest.param(True, marks=pytest.mark.slow), False])
+def test_dp_frame_batch_matches_single_device(pallas):
+    """Each dp shard's frames == the single-device perf pipeline, for both
+    the fused-kernel path (interpret mode on CPU; ~2.7 s/frame, hence the
+    slow marker) and the XLA lowrank chain."""
+    cfg = perf_config(small_test_config(), pallas=pallas)
+    pre = precompute(cfg)
+    if pallas:
+        n, dp = 4, 4
+        mesh = make_mesh(dp=dp)
+    else:
+        n, dp = 8, 4
+        mesh = make_mesh(dp=dp, ch=2)   # extra non-dp axis must be inert
+    proc_dp = make_dp_frame_processor(cfg, mesh, pre)
+    keys = _keys(n)
+    tb = _batched_targets(n)
+    out = jax.block_until_ready(proc_dp(jnp.asarray(keys), tb))
+
+    proc_1 = make_frame_processor(cfg, pre)
+    for i in range(n):
+        ref = proc_1(keys[i], jax.tree.map(lambda x: x[i], tb))
+        assert int(out.num_raw_detections[i]) == int(ref.num_raw_detections)
+        assert int(out.num_final[i]) == int(ref.num_final)
+        np.testing.assert_array_equal(np.asarray(out.targets.valid[i]),
+                                      np.asarray(ref.targets.valid))
+        for field in ("range_m", "velocity_ms", "angle_deg", "power"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(out.targets, field)[i]),
+                np.asarray(getattr(ref.targets, field)))
+
+
+def test_dp_frame_batch_rejects_indivisible():
+    cfg = perf_config(small_test_config(), pallas=False)
+    mesh = make_mesh(dp=4)
+    proc = make_dp_frame_processor(cfg, mesh, precompute(cfg))
+    with pytest.raises(ValueError, match="not divisible"):
+        proc(jnp.asarray(_keys(6)), _batched_targets(6))
+
+
+@pytest.mark.slow
+def test_dp_trials_match_single_device():
+    """dp-sharded Monte-Carlo trials on the fused perf path == mapping the
+    single-device processor over the same keys."""
+    cfg = perf_config(small_test_config(), pallas=True)
+    pre = precompute(cfg)
+    mesh = make_mesh(dp=4)
+    trials = make_dp_trial_fn(cfg, mesh, pre)
+    tb = TargetBatch.make([3000.0], [10.0], [9.0], [20.0])
+    keys = _keys(4, seed=3)
+    angles, hits = jax.block_until_ready(
+        trials(tb, jnp.asarray(keys)))
+
+    proc_1 = make_frame_processor(cfg, pre)
+    tb_j = jax.tree.map(jnp.asarray, tb)
+    for i in range(4):
+        a_ref, h_ref = _first_valid_angle(proc_1(keys[i], tb_j))
+        assert bool(hits[i]) == bool(h_ref)
+        if bool(h_ref):
+            np.testing.assert_array_equal(np.asarray(angles[i]),
+                                          np.asarray(a_ref))
+        else:
+            assert np.isnan(float(angles[i]))
