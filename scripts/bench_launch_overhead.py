@@ -42,12 +42,13 @@ def main() -> None:
             out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
             interpret=interpret)(x)
 
-    def measure(step, shape, label, n_small=64, n_large=512):
+    def measure(step, shape, label, n_small=64, n_large=320):
         def chain(n, x):
             return jax.lax.fori_loop(0, n, lambda i, c: step(c, shape), x)
 
         f = jax.jit(chain)
         x0 = jnp.zeros(shape, jnp.float32)
+        print(f"{label} {shape}: compiling...", flush=True)
         for _ in range(2):
             float(jnp.sum(f(n_small, x0)))   # compile + settle
             float(jnp.sum(f(n_large, x0)))
