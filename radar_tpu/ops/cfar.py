@@ -103,7 +103,16 @@ def lead_trail_means_matmul(x: jnp.ndarray, guard: int, ref: int, axis: int,
 
     Equal to :func:`lead_trail_means` up to f32 summation order: the MXU
     accumulates each window in one pass, the shift-add formulation in
-    ``ref`` ordered adds. Zero fill at the borders is identical.
+    ``ref`` ordered adds. Zero fill at the borders is identical, and the
+    summation-order difference is Pfa-invisible (measured on identical
+    draws, results/pfa_matmul_recheck.json).
+
+    Measured NEGATIVE e2e (results/pallas_cfar_ab.json): 2.38 -> 3.35
+    ms/frame in the perf pipeline — the blocked-window ``jnp.stack``
+    materializes a (tile+2*halo)/tile-amplified copy of the whole cube
+    before the einsum, and that relayout traffic swamps the 0.29 ms VPU
+    stage it replaces. Ships as ``CfarParams.means_impl="matmul"``;
+    the default stays "shift".
     """
     halo = guard + ref
     xm = jnp.moveaxis(x, axis, -1)

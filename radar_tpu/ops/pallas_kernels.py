@@ -198,8 +198,11 @@ def goca_cfar_qvg_pallas(maps_padded: jnp.ndarray, params: CfarParams,
     Unlike :func:`goca_cfar_2d_pallas` there is no input transpose, no
     output relayout, and no dead threshold write — the kernel reads each
     map cell ~(1 + 2*HALO/GATE_TILE)x and writes only the 1-byte mask, so
-    it is traffic-bound near the maps-read floor instead of XLA's
-    halo-amplified fused-loop re-reads (see results/pallas_cfar_ab.json).
+    it is traffic-bound near the maps-read floor. Measured e2e it is
+    still a 14% LOSS vs the XLA shift-add default (2.76 vs 2.38 ms/frame,
+    results/pallas_cfar_ab.json): forcing the detection tail into the
+    qvg layout costs more in downstream relayouts than the kernel saves —
+    ships as the ``use_pallas_cfar`` variant, default off.
     Reference semantics: fun_process_single_frame.m:192-213.
     """
     n_pairs, v_padded, g_pad = maps_padded.shape
