@@ -316,6 +316,15 @@ class RadarConfig:
     # relayout in extract_detections disappears too. Identical detections
     # (same arithmetic, same order) as the reference layout.
     beams_major_tail: bool = False
+    # bf16 output planes for the SIGNAL-FUSED noise-RDM kernel
+    # (noise_rdm_impl="pallas"/"pallas_prng" with lowrank signal fusion):
+    # halves the RDM write + every downstream read (pair-sum, CFAR,
+    # estimation gathers) at the cost of bf16-quantizing the signal too
+    # (~2^-9 relative; the noise-only kernel already shipped bf16 out
+    # before signal fusion moved it to f32 planes). Measured e2e + sweep
+    # statistics: results/kernel_out_bf16_ab.json. Estimation stays f32
+    # (upcast hardening in measure/estimate.py).
+    kernel_out_bf16: bool = False
     # Precision of the heavy constant matmuls (MTD DFT, banded-Toeplitz PC):
     # "f32" = complex64 throughout; "bf16" = bf16 multiply planes with f32
     # accumulation (~2x MXU rate, ~2^-9 input quantization; ops/precision.py)

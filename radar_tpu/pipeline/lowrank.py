@@ -140,10 +140,13 @@ def make_lowrank_stages(cfg: RadarConfig, precomp, plan, mplan,
             # COMPLETE RDM in one kernel pass: the rank-K signal factors
             # (tiny [K, *] arrays) fuse into the rolling kernel's mix tail
             # — the [V, G, B] signal-cube einsum and the signal+noise add
-            # disappear. f32 output planes so the SIGNAL is never bf16-
-            # quantized (monopulse ratio precision); the noise thereby
-            # skips the bf16 output quantization of the noise-only path
-            # (strictly more accurate, same validated statistics class).
+            # disappear. Default f32 output planes so the SIGNAL is never
+            # bf16-quantized (monopulse ratio precision); the noise
+            # thereby skips the bf16 output quantization of the noise-only
+            # path (strictly more accurate, same validated statistics
+            # class). cfg.kernel_out_bf16 opts back into bf16 planes
+            # (halved output + downstream-read traffic; honored in
+            # interpret mode too so CPU tests exercise the quantization).
             dop_amp, base, steer_b = synthesize_factors(
                 targets, precomp, cfg, mix_np, dtype=dtype)
             pc_base = _pc_full(base[:, :, None])[:, :, 0]      # [K, gates]
@@ -152,7 +155,8 @@ def make_lowrank_stages(cfg: RadarConfig, precomp, plan, mplan,
                 _frame_seed(key), rplan, l_np, a_unif,
                 interpret=interpret,
                 mul_dtype=jnp.float32 if interpret else jnp.bfloat16,
-                out_dtype=jnp.float32,
+                out_dtype=(jnp.bfloat16 if cfg.kernel_out_bf16
+                           else jnp.float32),
                 layout=layout, rolling=True,
                 signal=(dop_v, pc_base, steer_b), emit_maps=emit_maps)
 

@@ -88,6 +88,8 @@ def main():
             kw["beams_major_tail"] = True
         if "pcfar" in v:   # standalone Pallas qvg-maps CFAR kernel
             kw["use_pallas_cfar"] = True
+        if "b16out" in v:  # bf16 output planes for the signal-fused kernel
+            kw["kernel_out_bf16"] = True
         if "mcfar" in v:   # MXU banded-stencil CFAR window means
             import dataclasses
 

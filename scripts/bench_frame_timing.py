@@ -101,7 +101,10 @@ def main():
     h["after_bf16_kernel_out"] = 3.55
     h["after_inkernel_prng"] = 3.4
     h["after_rolling_chunks"] = 3.21
-    h["after_signal_fusion"] = round(1e3 * full_dt, 2)
+    # the milestone value is the bench.py record at adoption time, not
+    # this session's reading (the tunnel drifts +-10-15% across hours;
+    # fresh readings live in full_16ch_332p above)
+    h["after_signal_fusion"] = 2.4
     with open(path, "w") as fh:
         json.dump(data, fh, indent=1)
     print("wrote", os.path.normpath(path))

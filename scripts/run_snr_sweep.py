@@ -48,6 +48,14 @@ def main() -> None:
                     help="in-kernel hardware-PRNG noise generation "
                          "(cfg.noise_rdm_impl='pallas_prng'; implies "
                          "uniform rails)")
+    ap.add_argument("--truth-el", type=float, default=None,
+                    help="truth elevation in deg (default: the harness "
+                         "default 10 deg — only valid inside the beam "
+                         "bank; the 64-ch synthesized bank spans "
+                         "-16..+3.2 deg, so BASELINE config 3 should use "
+                         "an in-bank pair crossover, e.g. -0.8)")
+    ap.add_argument("--truth-range", type=float, default=10000.0,
+                    help="truth range in m (reference: 10 km)")
     ap.add_argument("--out", default="snr_sweep.png")
     ap.add_argument("--json", default=None,
                     help="also write the sweep arrays to this JSON path")
@@ -91,9 +99,15 @@ def main() -> None:
                           noise_rdm_impl="pallas_prng",
                           noise_dist="uniform")
 
+    truth = None
+    if args.truth_el is not None:
+        from radar_tpu.sim.scenario import TargetBatch
+
+        truth = TargetBatch.make([args.truth_range], [20.0],
+                                 [args.truth_el], [0.0])
     t0 = time.time()
     res = snr_sweep(cfg, snr_db_vector=snr_vec, num_trials=args.trials,
-                    progress=True)
+                    truth=truth, progress=True)
     print(f"\nsweep done in {time.time() - t0:.1f}s")
     for i, s in enumerate(res.snr_db):
         print(f"  SNR {s:+6.1f} dB: Pd={res.detection_probability[i]:5.2f} "
@@ -118,6 +132,11 @@ def main() -> None:
                                           res.detection_probability],
                 "theory_bound_deg": [float(x) for x in res.theory_bound],
                 "trials": args.trials,
+                "truth": {"range_m": args.truth_range,
+                          "elevation_deg": (args.truth_el
+                                            if args.truth_el is not None
+                                            else 10.0),
+                          "velocity_ms": 20.0},
                 "device": jax.devices()[0].device_kind,
             }, fh, indent=1)
         print("json:", args.json)

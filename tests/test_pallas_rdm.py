@@ -321,6 +321,38 @@ def test_signal_fusion_matches_explicit_sig_plus_noise():
         assert d < 1e-6 * scale, (layout, d, scale)
 
 
+def test_kernel_out_bf16_is_f32_quantized():
+    """cfg.kernel_out_bf16 (bf16 output planes for the signal-fused
+    kernel) must reproduce the f32-plane RDM to bf16 quantization level
+    (2^-8 relative on each output plane) — the only difference is the
+    final cast, honored in interpret mode too so this runs on CPU."""
+    from radar_tpu.ops.mtd import make_mtd_matrix
+    from radar_tpu.ops.pulse_compression import make_matmul_plan
+    from radar_tpu.pipeline.lowrank import make_lowrank_stages
+    from radar_tpu.sim.scenario import TargetBatch
+
+    base = small_test_config().replace(fused_synth_dbf=True,
+                                       lowrank_rdm=True,
+                                       noise_dist="uniform",
+                                       noise_rdm_impl="pallas_prng")
+    pre = precompute(base)
+    mtd_mat = make_mtd_matrix(pre.mtd_win, base.sig.prt_num,
+                              base.mtd_fft_len)
+    tb = TargetBatch(*[jnp.asarray(x, jnp.float32) for x in
+                       TargetBatch.make([3000.0], [15.0], [10.0], [20.0])])
+    key = jax.random.PRNGKey(1)
+    rdms = {}
+    for flag in (False, True):
+        cfg = base.replace(kernel_out_bf16=flag)
+        lr = make_lowrank_stages(cfg, pre, None, make_matmul_plan(pre),
+                                 mtd_mat, pre.mtd_win, jnp.complex64)
+        rdms[flag] = lr.noise_rdm_sig(key, tb, interpret=True)
+    scale = float(jnp.max(jnp.abs(rdms[False])))
+    d = float(jnp.max(jnp.abs(rdms[True] - rdms[False])))
+    assert d > 0.0                      # the cast actually happened
+    assert d < 2.0 ** -8 * scale, (d, scale)
+
+
 @pytest.mark.slow
 def test_kernel_maps_tail_matches_default():
     """cfg.kernel_maps (kernel-emitted sum maps + qvg detection tail) must

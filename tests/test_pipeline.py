@@ -105,6 +105,38 @@ def test_monte_carlo_sweep_small():
     assert np.all(np.diff(res.theory_bound) < 0)
 
 
+@pytest.mark.slow
+def test_monte_carlo_sweep_64ch_scaled():
+    """BASELINE config 3 statistical sweep (64 ch x 256 pulses) — the CPU
+    twin of the TPU run in results/snr_sweep_64ch.json. Truth sits at an
+    in-bank pair crossover (-0.8 deg, pair 9 of the synthesized Hamming
+    bank, which spans -16..+3.2 deg — the harness-default 10 deg is
+    OUTSIDE this bank and measures sidelobe estimates). Pd transitions
+    between -47 and -44 dB raw SNR (the 16-ch transition at ~-40 dB
+    shifted by +6 dB array gain - 1.1 dB fewer pulses); sigma shrinks
+    with SNR and at high SNR sits far inside the sweep-bound class.
+    Uses the synthesized Hamming bank + self-calibrated K slopes
+    (config/assets.py).
+    Ref: main_plot_snr_vs_angle_error.m:303-317 at the scaled array."""
+    from radar_tpu.config.params import scaled_config
+
+    cfg = scaled_config(channels=64, pulses=256).replace(
+        fused_synth_dbf=True, lowrank_rdm=True)
+    truth = TargetBatch.make([10000.0], [20.0], [-0.8], [0.0])
+    res = snr_sweep(cfg, snr_db_vector=[-58.0, -44.0, 25.0], num_trials=8,
+                    truth=truth, seed=5, batch_size=4)
+    # Pd: ~0 far below the transition, 1 at and far above it, monotone
+    assert res.detection_probability[0] <= 0.3
+    assert res.detection_probability[1] >= 0.9
+    assert res.detection_probability[-1] >= 0.9
+    # sigma shrinks with SNR: measurable just above the transition,
+    # near-floor at high SNR (probe run: 0.074 deg -> 8e-5 deg)
+    assert res.angle_error_std[1] >= res.angle_error_std[-1]
+    assert res.angle_error_std[-1] < 0.5
+    # the analytic |k|*sqrt(2)/sqrt(SNR) bound is monotone decreasing
+    assert np.all(np.diff(res.theory_bound) < 0)
+
+
 def test_device_multiframe_matches_host_loop():
     """The on-device lax.scan multi-frame runner reproduces the host-loop
     driver (same per-frame PRNG keys; kinematics in f32 vs the host's f64
