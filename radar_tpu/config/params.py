@@ -321,8 +321,9 @@ class RadarConfig:
     # halves the RDM write + every downstream read (pair-sum, CFAR,
     # estimation gathers) at the cost of bf16-quantizing the signal too
     # (~2^-9 relative; the noise-only kernel already shipped bf16 out
-    # before signal fusion moved it to f32 planes). Measured e2e + sweep
-    # statistics: results/kernel_out_bf16_ab.json. Estimation stays f32
+    # before signal fusion moved it to f32 planes). Measured NEUTRAL e2e
+    # (1.002x, results/kernel_out_bf16_ab.json) — f32 stays the default:
+    # strictly more accurate at zero measured cost. Estimation stays f32
     # (upcast hardening in measure/estimate.py).
     kernel_out_bf16: bool = False
     # Precision of the heavy constant matmuls (MTD DFT, banded-Toeplitz PC):
