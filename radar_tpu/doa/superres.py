@@ -1,0 +1,100 @@
+"""Search-free super-resolution DoA: root-MUSIC and (TLS-)ESPRIT.
+
+Beyond-reference additions (the reference ships grid-search MUSIC only —
+MUSIC_1D.m, run_music_algorithm.m; cf. the Kalman/RTS smoother in
+pipeline/tracking.py for the same beyond-parity pattern): both methods
+share MUSIC's covariance -> eigh subspace split but replace the dense
+angle-grid scan with closed-form extraction, which removes the grid-
+resolution floor (MUSIC's 0.1-deg scan step) and the [grid, C] spectrum
+matmul entirely.
+
+TPU/host boundary: the heavy ops — covariance accumulation (optionally
+snapshot-sharded via parallel/collectives.covariance_snapshot_sharded)
+and the [C, C] Hermitian eigendecomposition — run on device through
+``jnp.linalg.eigh``. The tail is a tiny host step on [C]-sized data
+(polynomial root finding / an [M, M] non-Hermitian eig, M = sources),
+exactly the device/host split the MUSIC peak picker already uses: TPUs
+have no non-symmetric eigensolver, and companion-matrix rooting of a
+2C-2 degree polynomial is microseconds on host.
+
+Model: ULA with ``element_spacing`` metres at ``wavelength`` metres,
+steering a(theta)_n = exp(j * n * 2*pi*d/lambda * sin(theta)) — the
+run_music_algorithm.m:24-39 signal model.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .music import covariance, noise_subspace
+
+
+def _phase_to_deg(phase: np.ndarray, element_spacing: float,
+                  wavelength: float) -> np.ndarray:
+    """Invert phi = 2*pi*d/lambda * sin(theta), clipping to the visible
+    region (|sin| <= 1) so near-endfire noise cannot produce NaN."""
+    s = phase * wavelength / (2.0 * np.pi * element_spacing)
+    return np.rad2deg(np.arcsin(np.clip(s, -1.0, 1.0)))
+
+
+def root_music_1d(x: jnp.ndarray, num_sources: int, element_spacing: float,
+                  wavelength: float) -> np.ndarray:
+    """Root-MUSIC DoAs (deg, sorted) from snapshots X [C, K].
+
+    The MUSIC null spectrum a(z)^H En En^H a(z) along z = exp(j*phi) is a
+    Laurent polynomial whose coefficients are the diagonal sums of
+    Q = En En^H; its roots come in conjugate-reciprocal pairs, and the M
+    roots strictly inside (and nearest to) the unit circle give the
+    source phases — no angle grid, no scan-step quantization.
+    """
+    c = int(x.shape[0])
+    m = int(num_sources)
+    if not 0 < m < c:
+        raise ValueError(f"need 0 < num_sources < channels, got {m}/{c}")
+    en = noise_subspace(covariance(x), m)            # device: eigh
+    q = np.asarray(en @ jnp.conj(en.T))              # [C, C] host tail
+    # coeffs[k] = sum of the k-th diagonal of Q, k = -(C-1)..(C-1)
+    coeffs = np.array([np.trace(q, offset=k) for k in range(c - 1, -c, -1)])
+    roots = np.roots(coeffs)                         # 2C-2 roots
+    inside = roots[np.abs(roots) < 1.0]
+    # nearest to the unit circle = sharpest nulls = signal roots
+    order = np.argsort(1.0 - np.abs(inside))
+    sig = inside[order[:m]]
+    return np.sort(_phase_to_deg(np.angle(sig), element_spacing,
+                                 wavelength))
+
+
+def esprit_1d(x: jnp.ndarray, num_sources: int, element_spacing: float,
+              wavelength: float, tls: bool = True) -> np.ndarray:
+    """(TLS-)ESPRIT DoAs (deg, sorted) from snapshots X [C, K].
+
+    Signal subspace Es [C, M] from the covariance; the two maximally
+    overlapping subarrays (rows 0..C-2 and 1..C-1) satisfy
+    Es[1:] ~= Es[:-1] @ Psi with eig(Psi) = exp(j*phi_m). ``tls=True``
+    solves the total-least-squares form (eigh of the stacked [2M, 2M]
+    Gram matrix — noise lives in BOTH subarray copies), ``tls=False``
+    the plain least squares. The final eig is non-Hermitian [M, M] and
+    runs on host (no TPU non-symmetric eigensolver).
+    """
+    c = int(x.shape[0])
+    m = int(num_sources)
+    if not 0 < m < c:
+        raise ValueError(f"need 0 < num_sources < channels, got {m}/{c}")
+    r = covariance(x)
+    _, vecs = jnp.linalg.eigh(r)                     # ascending
+    es = np.asarray(vecs[:, c - m:])                 # [C, M] signal space
+    e1, e2 = es[:-1], es[1:]
+    if tls:
+        # TLS: eigh of [E1 E2]^H [E1 E2]; partition the smallest-M
+        # eigenvector block V12/V22 -> Psi = -V12 V22^-1
+        stacked = np.concatenate([e1, e2], axis=1)   # [C-1, 2M]
+        g = np.conj(stacked.T) @ stacked             # [2M, 2M]
+        _, v = np.linalg.eigh(g)
+        vn = v[:, :m]                                # smallest M eigenpairs
+        v12, v22 = vn[:m], vn[m:]
+        psi = -v12 @ np.linalg.inv(v22)
+    else:
+        psi, *_ = np.linalg.lstsq(e1, e2, rcond=None)
+    phases = np.angle(np.linalg.eigvals(psi))
+    return np.sort(_phase_to_deg(phases, element_spacing, wavelength))

@@ -5,6 +5,7 @@ sigma/delta monopulse demo, sharded covariance at 128 elements
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from radar_tpu.config.params import full_config
 from radar_tpu.doa.monopulse import (estimate_angle, make_sum_diff_beams,
@@ -167,3 +168,64 @@ def test_beam_patterns_reference_quirks_reproduce_lut():
     np.testing.assert_allclose(np.abs(w @ s0), np.abs(w @ s1), rtol=1e-12)
     phase = s1[0] / s0[0]
     np.testing.assert_allclose(s1, s0 * phase[None, :], rtol=1e-12)
+
+
+def test_root_music_matches_truth_beyond_grid_resolution():
+    """Root-MUSIC (beyond-reference, doa/superres.py): same subspace as
+    grid MUSIC but closed-form rooting — recovers off-grid truths to
+    better than the 0.1-deg scan step of the grid implementation."""
+    from radar_tpu.doa.superres import root_music_1d
+
+    cfg = full_config()
+    d = cfg.array.element_spacing
+    key = jax.random.PRNGKey(7)
+    truth = [-1.53, 2.07]     # deliberately off the 0.1-deg grid
+    x = simulate_snapshots(key, truth, 16, d, WAVELENGTH, 256,
+                           snr_db=20.0, dtype=jnp.complex128)
+    est = root_music_1d(x, 2, d, WAVELENGTH)
+    np.testing.assert_allclose(est, truth, atol=0.05)
+
+
+def test_esprit_matches_truth_and_agrees_with_root_music():
+    """TLS- and LS-ESPRIT (beyond-reference, doa/superres.py) recover the
+    run_music_algorithm.m close-source scene and agree with root-MUSIC."""
+    from radar_tpu.doa.superres import esprit_1d, root_music_1d
+
+    cfg = full_config()
+    d = cfg.array.element_spacing
+    key = jax.random.PRNGKey(8)
+    truth = [-1.5, 2.0]
+    x = simulate_snapshots(key, truth, 16, d, WAVELENGTH, 256,
+                           snr_db=20.0, dtype=jnp.complex128)
+    tls = esprit_1d(x, 2, d, WAVELENGTH, tls=True)
+    ls = esprit_1d(x, 2, d, WAVELENGTH, tls=False)
+    rm = root_music_1d(x, 2, d, WAVELENGTH)
+    np.testing.assert_allclose(tls, truth, atol=0.1)
+    np.testing.assert_allclose(ls, truth, atol=0.1)
+    np.testing.assert_allclose(tls, rm, atol=0.1)
+
+
+def test_superres_three_sources_ten_elements():
+    """MUSIC_1D.m scene (10-element lambda/2 ULA, 3 sources) through both
+    search-free methods."""
+    from radar_tpu.doa.superres import esprit_1d, root_music_1d
+
+    d = WAVELENGTH / 2
+    key = jax.random.PRNGKey(9)
+    truth = [-20.0, 0.0, 15.0]
+    x = simulate_snapshots(key, truth, 10, d, WAVELENGTH, 512,
+                           snr_db=10.0, dtype=jnp.complex128)
+    np.testing.assert_allclose(root_music_1d(x, 3, d, WAVELENGTH), truth,
+                               atol=0.3)
+    np.testing.assert_allclose(esprit_1d(x, 3, d, WAVELENGTH), truth,
+                               atol=0.3)
+
+
+def test_superres_rejects_bad_source_count():
+    from radar_tpu.doa.superres import esprit_1d, root_music_1d
+
+    x = jnp.zeros((4, 8), jnp.complex64)
+    for fn in (root_music_1d, esprit_1d):
+        for m in (0, 4, 5):
+            with pytest.raises(ValueError):
+                fn(x, m, 0.0138, WAVELENGTH)
