@@ -34,3 +34,12 @@ print("truth:", truth, "-> MUSIC peaks:", np.round(res.peaks_deg, 2))
 conv = np.asarray(conventional_beam_spectrum(x, scan, d, wl))
 print("conventional DBF peak:", scan[int(np.argmax(conv))],
       "deg (single merged lobe — cannot separate the pair)")
+
+# search-free super-resolution (beyond the reference's grid-scan MUSIC):
+# root-MUSIC roots the null-spectrum polynomial, ESPRIT exploits the
+# shift invariance of the two overlapping subarrays — no scan grid, so
+# no 0.1-deg quantization floor (radar_tpu/doa/superres.py)
+from radar_tpu.doa.superres import esprit_1d, root_music_1d
+
+print("root-MUSIC:", np.round(root_music_1d(x, 2, d, wl), 3))
+print("TLS-ESPRIT:", np.round(esprit_1d(x, 2, d, wl), 3))
