@@ -39,5 +39,7 @@ def test_two_process_distributed_parity(tmp_path):
     report = json.loads(out.read_text())
     assert report["nproc"] == 2
     names = {c["name"] for c in report["checks"]}
-    assert names == {"stream_dpxch", "lowrank_dpxcpi", "trials_dp"}
+    # perf_dp joined in round 3 (the dp-sharded perf-path batch check)
+    assert names == {"stream_dpxch", "lowrank_dpxcpi", "trials_dp",
+                     "perf_dp"}
     assert all(c["ok"] for c in report["checks"])
