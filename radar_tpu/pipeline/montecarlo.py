@@ -161,9 +161,16 @@ def snr_sweep(cfg: RadarConfig, snr_db_vector=None, num_trials: int = 100,
               truth: TargetBatch | None = None, true_pair_idx: int | None = None,
               seed: int = 0, batch_size: int = 16, dtype=jnp.complex64,
               precomp: Precomputed | None = None,
-              progress: bool = False) -> SweepResult:
+              progress: bool = False, mesh=None) -> SweepResult:
     """Run the sweep. Defaults mirror the reference: SNR -10..30 dB step 2,
-    truth target R=10 km, V=20 m/s, El=10 deg (beam pair index 5, 0-based)."""
+    truth target R=10 km, V=20 m/s, El=10 deg (beam pair index 5, 0-based).
+
+    ``mesh``: a :class:`jax.sharding.Mesh` with a ``dp`` axis to shard
+    each trial batch over devices via :func:`parallel.dp.make_dp_trial_fn`
+    (each device runs the COMPLETE per-trial pipeline — fused Pallas
+    kernel included — on its slice; the reference's ``parfor`` boundary,
+    main_plot_snr_vs_angle_error.m:167, mapped onto the device mesh).
+    ``batch_size`` and ``num_trials`` must be multiples of the dp size."""
     if snr_db_vector is None:
         snr_db_vector = np.arange(-10.0, 30.0 + 1e-9, 2.0)
     snr_db_vector = np.asarray(snr_db_vector, np.float64)
@@ -178,7 +185,18 @@ def snr_sweep(cfg: RadarConfig, snr_db_vector=None, num_trials: int = 100,
                                     - 1, 0, len(a) - 2))
     k_slope = float(precomp.k_slopes_lut[true_pair_idx])
 
-    trials_fn = make_trial_fn(cfg, precomp, dtype)
+    if mesh is not None:
+        from ..parallel.dp import make_dp_trial_fn
+        from ..parallel.mesh import AXIS_DP
+
+        n_dp = mesh.shape[AXIS_DP]
+        if batch_size % n_dp or num_trials % n_dp:
+            raise ValueError(
+                f"batch_size={batch_size} and num_trials={num_trials} must "
+                f"be multiples of the dp axis size {n_dp}")
+        trials_fn = make_dp_trial_fn(cfg, mesh, precomp, dtype)
+    else:
+        trials_fn = make_trial_fn(cfg, precomp, dtype)
     key = jax.random.PRNGKey(seed)
     errors = np.full((len(snr_db_vector), num_trials), np.nan)
     for i, snr in enumerate(snr_db_vector):

@@ -48,6 +48,12 @@ def main() -> None:
                     help="in-kernel hardware-PRNG noise generation "
                          "(cfg.noise_rdm_impl='pallas_prng'; implies "
                          "uniform rails)")
+    ap.add_argument("--dp", type=int, default=None,
+                    help="shard each trial batch over a dp mesh of this "
+                         "many devices (parallel/dp.py; trials and batch "
+                         "must divide by it)")
+    ap.add_argument("--batch", type=int, default=16,
+                    help="trial batch size per sweep point")
     ap.add_argument("--truth-el", type=float, default=None,
                     help="truth elevation in deg (default: the harness "
                          "default 10 deg — only valid inside the beam "
@@ -65,6 +71,11 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.cpu:
+        if args.dp and args.dp > 1:
+            # virtual CPU devices for the dp mesh (must precede backend init)
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={args.dp}")
         import jax
 
         jax.config.update("jax_platforms", "cpu")
@@ -105,9 +116,15 @@ def main() -> None:
 
         truth = TargetBatch.make([args.truth_range], [20.0],
                                  [args.truth_el], [0.0])
+    mesh = None
+    if args.dp is not None:
+        from radar_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=args.dp)
     t0 = time.time()
     res = snr_sweep(cfg, snr_db_vector=snr_vec, num_trials=args.trials,
-                    truth=truth, progress=True)
+                    truth=truth, progress=True, mesh=mesh,
+                    batch_size=args.batch)
     print(f"\nsweep done in {time.time() - t0:.1f}s")
     for i, s in enumerate(res.snr_db):
         print(f"  SNR {s:+6.1f} dB: Pd={res.detection_probability[i]:5.2f} "

@@ -98,3 +98,26 @@ def test_dp_trials_match_single_device():
                                           np.asarray(a_ref))
         else:
             assert np.isnan(float(angles[i]))
+
+
+@pytest.mark.slow
+def test_snr_sweep_dp_mesh_matches_pd_ladder():
+    """snr_sweep(mesh=...) shards each trial batch over the dp axis and
+    reproduces the single-device Pd ladder (the reference's parfor sweep,
+    main_plot_snr_vs_angle_error.m:167, on the device mesh)."""
+    from radar_tpu.pipeline.montecarlo import snr_sweep
+
+    cfg = perf_config(small_test_config(channels=8, pulses=32),
+                      pallas=False)
+    tb = TargetBatch.make([3000.0], [10.0], [10.0], [0.0])
+    kw = dict(snr_db_vector=[-42.0, 25.0], num_trials=8, truth=tb,
+              seed=11, batch_size=4)
+    res_dp = snr_sweep(cfg, mesh=make_mesh(dp=4), **kw)
+    res_1 = snr_sweep(cfg, **kw)
+    for res in (res_dp, res_1):
+        assert res.detection_probability[0] <= 0.3
+        assert res.detection_probability[-1] >= 0.9
+    # bad divisibility is rejected loudly
+    with pytest.raises(ValueError, match="multiples of the dp"):
+        snr_sweep(cfg, mesh=make_mesh(dp=4), snr_db_vector=[25.0],
+                  num_trials=6, truth=tb, batch_size=3)
