@@ -59,6 +59,21 @@ class DetectionLog:
         self.azimuth_deg = np.concatenate(
             [self.azimuth_deg, np.full(n, azimuth_deg)])
 
+    def append_rows(self, saved: dict, frame_idx: int):
+        """Replay checkpointed measurement rows (resume path of
+        ``run_multiframe``): ``saved`` holds the per-frame arrays written
+        by the "measurements" stage."""
+        n = len(saved["range_m"])
+        self.range_m = np.concatenate([self.range_m, saved["range_m"]])
+        self.velocity_ms = np.concatenate(
+            [self.velocity_ms, saved["velocity_ms"]])
+        self.elevation_deg = np.concatenate(
+            [self.elevation_deg, saved["elevation_deg"]])
+        self.power = np.concatenate([self.power, saved["power"]])
+        self.frame = np.concatenate([self.frame, np.full(n, frame_idx)])
+        self.azimuth_deg = np.concatenate(
+            [self.azimuth_deg, saved["azimuth_deg"]])
+
 
 class Track(NamedTuple):
     """ref ``final_tracks_log`` entry (v8_3:310,327-334)."""
@@ -230,11 +245,21 @@ def run_multiframe_device(cfg: RadarConfig, initial_targets: TargetBatch,
 
 def run_multiframe(cfg: RadarConfig, initial_targets: TargetBatch,
                    num_frames: int, seed: int = 0, processor=None,
-                   precomp=None, dtype=None, progress: bool = False):
+                   precomp=None, dtype=None, progress: bool = False,
+                   store=None):
     """Run the full multi-frame simulation; returns (log, tracks, scenario).
 
     ``processor`` may be a pre-built jitted frame processor (reused across
-    runs to amortize compilation)."""
+    runs to amortize compilation).
+
+    ``store``: an ``io.checkpoint.CheckpointStore`` enabling
+    restart-on-failure (SURVEY.md section 5.3/5.4): each frame's
+    measurement rows are persisted under the "measurements" stage, and a
+    rerun with the same store skips already-completed frames, replaying
+    their rows from disk instead of recomputing — the scenario kinematics
+    and per-frame PRNG keys are deterministic functions of (seed,
+    frame_idx), so the resumed log is identical to an uninterrupted run
+    (tests/test_pipeline.py::test_multiframe_resume_after_crash)."""
     import jax.numpy as jnp
 
     if processor is None:
@@ -243,11 +268,27 @@ def run_multiframe(cfg: RadarConfig, initial_targets: TargetBatch,
     scen = Scenario.from_initial(initial_targets, cfg)
     log = DetectionLog.empty()
     key = jax.random.PRNGKey(seed)
+    done = set(store.frames_done("measurements")) if store else set()
     for frame_idx in range(1, num_frames + 1):
         targets = scen.step(cfg)
+        if frame_idx in done:
+            saved = store.load("measurements", frame_idx)
+            log.append_rows(saved, frame_idx)
+            if progress:
+                print(f"frame {frame_idx}/{num_frames}: "
+                      f"{len(saved['range_m'])} targets (resumed)")
+            continue
         fkey = jax.random.fold_in(key, frame_idx)
         result = jax.block_until_ready(processor(fkey, targets))
         log.append_frame(result, frame_idx, scen.azimuth_deg)
+        if store is not None:
+            rows = log.frame == frame_idx
+            store.save("measurements", frame_idx,
+                       range_m=log.range_m[rows],
+                       velocity_ms=log.velocity_ms[rows],
+                       elevation_deg=log.elevation_deg[rows],
+                       power=log.power[rows],
+                       azimuth_deg=log.azimuth_deg[rows])
         if progress:
             print(f"frame {frame_idx}/{num_frames}: "
                   f"{int(result.num_final)} targets, az="

@@ -28,6 +28,12 @@ def main() -> None:
     ap.add_argument("--out", default="out_sim")
     ap.add_argument("--checkpoint", action="store_true",
                     help="persist per-frame measurement checkpoints")
+    ap.add_argument("--resume", action="store_true",
+                    help="restart-on-failure: persist per-frame "
+                         "measurements as the loop runs and skip frames "
+                         "already checkpointed under --out (an "
+                         "interrupted run rerun with the same arguments "
+                         "continues where it died; SURVEY 5.3)")
     ap.add_argument("--device-scan", action="store_true",
                     help="run all frames inside one on-device lax.scan "
                          "(no host round trip per frame; best on "
@@ -73,8 +79,17 @@ def main() -> None:
         log, tracks = run_multiframe_device(cfg, scene, args.frames, seed=0,
                                             precomp=pre)
     else:
+        store = None
+        if args.resume:
+            store = CheckpointStore(os.path.join(args.out, "checkpoints"),
+                                    SaveOptions(measurements=True))
+            done = store.frames_done("measurements")
+            if done:
+                print(f"resuming: frames {done[0]}..{done[-1]} replay "
+                      f"from {store.root}")
         log, tracks, scen = run_multiframe(cfg, scene, args.frames, seed=0,
-                                           precomp=pre, progress=True)
+                                           precomp=pre, progress=True,
+                                           store=store)
     print(f"\nprocessed {args.frames} frames in {time.time() - t0:.2f}s: "
           f"{len(log)} detections -> {len(tracks)} tracks")
     for t in sorted(tracks, key=lambda t: -t.num_points)[:10]:

@@ -173,3 +173,41 @@ def test_monte_carlo_sweep_lowrank_matches_default():
     for name in pds:
         assert pds[name][0] <= 0.3, name      # below the transition
         assert pds[name][-1] >= 0.9, name     # far above it
+
+
+def test_multiframe_resume_after_crash(tmp_path):
+    """Restart-on-failure (SURVEY 5.3): a run that dies mid-loop resumes
+    from its per-frame measurement checkpoints and produces the IDENTICAL
+    cumulative log and tracks as an uninterrupted run — replayed frames
+    come from disk, only the missing ones recompute."""
+    from radar_tpu.io.checkpoint import CheckpointStore, SaveOptions
+    from radar_tpu.pipeline.frame import make_frame_processor
+    from radar_tpu.waveform.precompute import precompute as _pre
+
+    cfg = small_test_config(channels=8, pulses=32)
+    tb = TargetBatch.make([3000.0], [15.0], [10.0], [18.0])
+    pre = _pre(cfg)
+    proc = make_frame_processor(cfg, pre)
+
+    # ground truth: uninterrupted 6-frame run
+    log_full, tracks_full, _ = run_multiframe(cfg, tb, num_frames=6,
+                                              seed=4, processor=proc)
+
+    # "crashed" run: dies after frame 3 (simulated by only running 3)
+    store = CheckpointStore(str(tmp_path / "ck"),
+                            SaveOptions(measurements=True))
+    run_multiframe(cfg, tb, num_frames=3, seed=4, processor=proc,
+                   store=store)
+    assert store.frames_done("measurements") == [1, 2, 3]
+
+    # resumed run over the full horizon: frames 1-3 replay from disk
+    log_res, tracks_res, _ = run_multiframe(cfg, tb, num_frames=6,
+                                            seed=4, processor=proc,
+                                            store=store)
+    assert store.frames_done("measurements") == [1, 2, 3, 4, 5, 6]
+    np.testing.assert_array_equal(log_res.frame, log_full.frame)
+    for field in ("range_m", "velocity_ms", "elevation_deg", "power",
+                  "azimuth_deg"):
+        np.testing.assert_array_equal(getattr(log_res, field),
+                                      getattr(log_full, field), err_msg=field)
+    assert len(tracks_res) == len(tracks_full)
