@@ -24,6 +24,7 @@ run_music_algorithm.m:24-39 signal model.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -38,8 +39,32 @@ def _phase_to_deg(phase: np.ndarray, element_spacing: float,
     return np.rad2deg(np.arcsin(np.clip(s, -1.0, 1.0)))
 
 
+def spatial_smooth(r: jnp.ndarray, sub_len: int,
+                   forward_backward: bool = True) -> jnp.ndarray:
+    """Forward(-backward) spatially smoothed covariance [L, L] from a full
+    [C, C] covariance: the average of all C-L+1 overlapping subarray
+    blocks R[p:p+L, p:p+L], optionally averaged with the conjugate-
+    reversed (backward) array J R* J first.
+
+    COHERENT sources (multipath: one waveform arriving from several
+    angles) collapse the signal subspace to rank < M and break any
+    subspace DoA method on the raw covariance; smoothing restores rank up
+    to the number of averaged subarrays at the cost of aperture C -> L.
+    The subspace methods then run on the smoothed [L, L] covariance as if
+    it came from an L-element array."""
+    c = int(r.shape[0])
+    if not 1 < sub_len <= c:
+        raise ValueError(f"need 1 < sub_len <= {c}, got {sub_len}")
+    if forward_backward:
+        j = jnp.eye(c, dtype=r.dtype)[::-1]
+        r = 0.5 * (r + j @ jnp.conj(r) @ j)
+    blocks = [jax.lax.dynamic_slice(r, (p, p), (sub_len, sub_len))
+              for p in range(c - sub_len + 1)]
+    return jnp.mean(jnp.stack(blocks), axis=0)
+
+
 def root_music_1d(x: jnp.ndarray, num_sources: int, element_spacing: float,
-                  wavelength: float) -> np.ndarray:
+                  wavelength: float, smooth: int | None = None) -> np.ndarray:
     """Root-MUSIC DoAs (deg, sorted) from snapshots X [C, K].
 
     The MUSIC null spectrum a(z)^H En En^H a(z) along z = exp(j*phi) is a
@@ -47,12 +72,18 @@ def root_music_1d(x: jnp.ndarray, num_sources: int, element_spacing: float,
     Q = En En^H; its roots come in conjugate-reciprocal pairs, and the M
     roots strictly inside (and nearest to) the unit circle give the
     source phases — no angle grid, no scan-step quantization.
+
+    ``smooth``: subarray length for :func:`spatial_smooth` — required for
+    COHERENT sources (multipath), which rank-collapse the raw covariance.
     """
-    c = int(x.shape[0])
+    r = covariance(x)
+    if smooth is not None:
+        r = spatial_smooth(r, smooth)
+    c = int(r.shape[0])
     m = int(num_sources)
     if not 0 < m < c:
         raise ValueError(f"need 0 < num_sources < channels, got {m}/{c}")
-    en = noise_subspace(covariance(x), m)            # device: eigh
+    en = noise_subspace(r, m)                        # device: eigh
     q = np.asarray(en @ jnp.conj(en.T))              # [C, C] host tail
     # coeffs[k] = sum of the k-th diagonal of Q, k = -(C-1)..(C-1)
     coeffs = np.array([np.trace(q, offset=k) for k in range(c - 1, -c, -1)])
@@ -66,7 +97,8 @@ def root_music_1d(x: jnp.ndarray, num_sources: int, element_spacing: float,
 
 
 def esprit_1d(x: jnp.ndarray, num_sources: int, element_spacing: float,
-              wavelength: float, tls: bool = True) -> np.ndarray:
+              wavelength: float, tls: bool = True,
+              smooth: int | None = None) -> np.ndarray:
     """(TLS-)ESPRIT DoAs (deg, sorted) from snapshots X [C, K].
 
     Signal subspace Es [C, M] from the covariance; the two maximally
@@ -76,12 +108,18 @@ def esprit_1d(x: jnp.ndarray, num_sources: int, element_spacing: float,
     Gram matrix — noise lives in BOTH subarray copies), ``tls=False``
     the plain least squares. The final eig is non-Hermitian [M, M] and
     runs on host (no TPU non-symmetric eigensolver).
+
+    ``smooth``: subarray length for :func:`spatial_smooth` (coherent
+    sources; the rotational invariance then lives on the smoothed
+    L-element array).
     """
-    c = int(x.shape[0])
+    r = covariance(x)
+    if smooth is not None:
+        r = spatial_smooth(r, smooth)
+    c = int(r.shape[0])
     m = int(num_sources)
     if not 0 < m < c:
         raise ValueError(f"need 0 < num_sources < channels, got {m}/{c}")
-    r = covariance(x)
     _, vecs = jnp.linalg.eigh(r)                     # ascending
     es = np.asarray(vecs[:, c - m:])                 # [C, M] signal space
     e1, e2 = es[:-1], es[1:]

@@ -229,3 +229,36 @@ def test_superres_rejects_bad_source_count():
         for m in (0, 4, 5):
             with pytest.raises(ValueError):
                 fn(x, m, 0.0138, WAVELENGTH)
+
+
+def test_spatial_smoothing_resolves_coherent_sources():
+    """COHERENT sources (multipath: one waveform from two angles) rank-
+    collapse the raw covariance and break subspace DoA; forward-backward
+    spatial smoothing (doa/superres.py::spatial_smooth) restores the rank
+    and both search-free methods recover the pair."""
+    from radar_tpu.doa.superres import esprit_1d, root_music_1d
+
+    d = WAVELENGTH / 2
+    c, k = 16, 256
+    truth = [-3.0, 3.0]
+    rng = np.random.default_rng(0)
+    s = (rng.standard_normal(k) + 1j * rng.standard_normal(k)) / np.sqrt(2)
+    a = steering_vector(np.asarray(truth), c, d, WAVELENGTH)  # [C, 2]
+    # fully coherent: the second path is the SAME waveform, near-
+    # destructively phased (the hard multipath geometry)
+    x_clean = np.outer(a[:, 0], s) + np.exp(1j * np.pi * 0.9) * np.outer(
+        a[:, 1], s)
+    noise = (rng.standard_normal((c, k)) + 1j
+             * rng.standard_normal((c, k))) * np.sqrt(0.5) * 10 ** (-30 / 20)
+    x = jnp.asarray(x_clean + noise, jnp.complex128)
+
+    # raw covariance: rank-1 signal subspace -> completely wrong answers
+    # (probe run: [-45.05, -0.14] deg for the [-3, 3] truth)
+    est_raw = root_music_1d(x, 2, d, WAVELENGTH)
+    assert np.max(np.abs(est_raw - truth)) > 5.0
+
+    # smoothed: both methods recover the pair to millidegrees
+    est_rm = root_music_1d(x, 2, d, WAVELENGTH, smooth=12)
+    est_es = esprit_1d(x, 2, d, WAVELENGTH, smooth=12)
+    np.testing.assert_allclose(est_rm, truth, atol=0.1)
+    np.testing.assert_allclose(est_es, truth, atol=0.1)
