@@ -262,3 +262,21 @@ def test_spatial_smoothing_resolves_coherent_sources():
     est_es = esprit_1d(x, 2, d, WAVELENGTH, smooth=12)
     np.testing.assert_allclose(est_rm, truth, atol=0.1)
     np.testing.assert_allclose(est_es, truth, atol=0.1)
+
+
+def test_superres_128_elements_one_degree_separation():
+    """BASELINE config 4 aperture through the search-free methods: at 128
+    elements both resolve a 1-degree-separated triple at 5 dB SNR (the
+    scene test_music_128_elements_sharded_covariance scans a 0.05-deg
+    grid for; here with no grid at all)."""
+    from radar_tpu.doa.superres import esprit_1d, root_music_1d
+
+    d = WAVELENGTH / 2
+    key = jax.random.PRNGKey(2)
+    truth = [-5.0, -4.0, 10.0]
+    x = simulate_snapshots(key, truth, 128, d, WAVELENGTH, 512, snr_db=5.0,
+                           dtype=jnp.complex128)
+    np.testing.assert_allclose(root_music_1d(x, 3, d, WAVELENGTH), truth,
+                               atol=0.1)
+    np.testing.assert_allclose(esprit_1d(x, 3, d, WAVELENGTH), truth,
+                               atol=0.1)
