@@ -118,17 +118,57 @@ def steering_ura(az_deg, el_deg, nx: int, ny: int, spacing_wavelengths: float
     return np.exp(1j * phase).reshape(c, -1)
 
 
+def regional_max_peaks_2d(spec: jnp.ndarray, num_sources: int
+                          ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """DEVICE-SIDE 8-neighborhood regional maxima + top-M selection.
+
+    The 8-neighbor comparison is a stencil (eight statically-shifted
+    ``jnp.maximum``s over an -inf-padded plane, VPU-elementwise) and the
+    ranking one ``lax.top_k`` over the masked flat spectrum — no host
+    transfer of the [G_az, G_el] plane, which matters at the fine-grid
+    128-element scale (BASELINE.json config 4). Returns ``(flat_idx [M],
+    values [M])`` descending; unravel on host. Matches MUSIC_2D.m:119-144's
+    imregionalmax + sort semantics (>= every neighbor, ties broken by
+    value order)."""
+    h, w = spec.shape
+    pad = jnp.pad(spec, 1, constant_values=-jnp.inf)
+    neigh = jnp.full_like(spec, -jnp.inf)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            if di == 0 and dj == 0:
+                continue
+            neigh = jnp.maximum(neigh, pad[1 + di:1 + di + h,
+                                           1 + dj:1 + dj + w])
+    masked = jnp.where(spec >= neigh, spec, -jnp.inf)
+    vals, idx = jax.lax.top_k(masked.ravel(), num_sources)
+    return idx, vals
+
+
 def music_2d(x: jnp.ndarray, num_sources: int, nx: int, ny: int,
              spacing_wavelengths: float = 0.5,
              az_deg: np.ndarray | None = None,
-             el_deg: np.ndarray | None = None) -> MusicResult:
+             el_deg: np.ndarray | None = None,
+             peak_impl: str = "device",
+             mesh=None, snapshot_axis: str = "cpi") -> MusicResult:
     """2D MUSIC over an (azimuth, elevation) grid; peaks by regional max
-    (MUSIC_2D.m:119-144)."""
+    (MUSIC_2D.m:119-144).
+
+    Scales to the 128-element BASELINE-4 aperture: pass ``mesh=`` to
+    accumulate the covariance via the snapshot-sharded psum path
+    (parallel/collectives.covariance_snapshot_sharded — X's snapshot axis
+    sharded over ``snapshot_axis``), and ``peak_impl="device"`` (default)
+    ranks regional maxima on device (:func:`regional_max_peaks_2d`);
+    ``"host"`` keeps the numpy picker (the original 8x8 formulation)."""
     if az_deg is None:
         az_deg = np.arange(-90.0, 90.0 + 1e-9, 1.0)
     if el_deg is None:
         el_deg = np.arange(0.0, 90.0 + 1e-9, 1.0)
-    r = covariance(x)
+    if mesh is not None:
+        from ..parallel.collectives import covariance_snapshot_sharded
+
+        r = covariance_snapshot_sharded(mesh, snapshot_axis)(x)
+    else:
+        r = covariance(x)
     en = noise_subspace(r, num_sources)
     a = jnp.asarray(steering_ura(az_deg, el_deg, nx, ny,
                                  spacing_wavelengths), r.dtype)
@@ -137,8 +177,16 @@ def music_2d(x: jnp.ndarray, num_sources: int, nx: int, ny: int,
     spec = (1.0 / (denom + jnp.finfo(denom.dtype).eps)).reshape(
         len(az_deg), len(el_deg))
 
+    if peak_impl == "device":
+        idx, _ = regional_max_peaks_2d(spec, num_sources)
+        ii, jj = np.unravel_index(np.asarray(idx), spec.shape)
+        peaks = np.stack([np.asarray(az_deg)[ii],
+                          np.asarray(el_deg)[jj]], axis=1)
+        return MusicResult((np.asarray(az_deg), np.asarray(el_deg)), spec,
+                           peaks)
+
     s = np.asarray(spec)
-    # 8-neighborhood regional maxima
+    # 8-neighborhood regional maxima (host reference picker)
     pad = np.pad(s, 1, constant_values=-np.inf)
     is_max = np.ones_like(s, bool)
     for di in (-1, 0, 1):

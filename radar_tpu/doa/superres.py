@@ -88,11 +88,28 @@ def root_music_1d(x: jnp.ndarray, num_sources: int, element_spacing: float,
     # coeffs[k] = sum of the k-th diagonal of Q, k = -(C-1)..(C-1)
     coeffs = np.array([np.trace(q, offset=k) for k in range(c - 1, -c, -1)])
     roots = np.roots(coeffs)                         # 2C-2 roots
-    inside = roots[np.abs(roots) < 1.0]
-    # nearest to the unit circle = sharpest nulls = signal roots
-    order = np.argsort(1.0 - np.abs(inside))
-    sig = inside[order[:m]]
-    return np.sort(_phase_to_deg(np.angle(sig), element_spacing,
+    # roots come in conjugate-reciprocal pairs; pick the M nearest the
+    # unit circle by |1-|z|| over ALL roots (not just the strictly-inside
+    # ones: with a degenerate/noiseless covariance a signal root can land
+    # numerically ON or just outside the circle, and an inside-only filter
+    # would silently return fewer than num_sources angles). Keep one root
+    # per pair by preferring |z| <= 1 on ties.
+    order = np.argsort(np.abs(1.0 - np.abs(roots))
+                       + 1e-12 * (np.abs(roots) > 1.0))
+    sig, used_phases = [], []
+    for z in roots[order]:
+        ph = np.angle(z)
+        # skip the conjugate-reciprocal twin (same phase, mirrored radius)
+        if any(abs(np.angle(np.exp(1j * (ph - p)))) < 1e-6
+               for p in used_phases):
+            continue
+        sig.append(z)
+        used_phases.append(ph)
+        if len(sig) == m:
+            break
+    assert len(sig) == m, (
+        f"root-MUSIC found only {len(sig)} distinct roots for {m} sources")
+    return np.sort(_phase_to_deg(np.angle(np.array(sig)), element_spacing,
                                  wavelength))
 
 

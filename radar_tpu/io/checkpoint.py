@@ -71,12 +71,26 @@ class CheckpointStore:
         return os.path.join(d, f"frame_{frame_idx:06d}.npz")
 
     def save(self, stage: str, frame_idx: int, /, **arrays: Any) -> str | None:
-        """Persist arrays for a stage if its switch is on; returns the path."""
+        """Persist arrays for a stage if its switch is on; returns the path.
+
+        The write is atomic (temp file in the same directory + os.replace):
+        a crash mid-write — the exact scenario restart-on-failure targets —
+        must never leave a truncated .npz that ``frames_done`` would count
+        as a completed frame."""
         if not self.options.enabled(stage):
             return None
         path = self._path(stage, frame_idx)
-        np.savez_compressed(path,
-                            **{k: np.asarray(v) for k, v in arrays.items()})
+        # temp name must END in .npz (np.savez appends it otherwise) and
+        # must NOT start with "frame_" (frames_done globs that prefix)
+        tmp = os.path.join(os.path.dirname(path),
+                           f".tmp_{os.getpid()}_frame_{frame_idx:06d}.npz")
+        try:
+            np.savez_compressed(tmp,
+                                **{k: np.asarray(v) for k, v in arrays.items()})
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
         return path
 
     def load(self, stage: str, frame_idx: int) -> dict[str, np.ndarray]:
@@ -86,6 +100,34 @@ class CheckpointStore:
 
     def has(self, stage: str, frame_idx: int) -> bool:
         return os.path.exists(self._path(stage, frame_idx))
+
+    def check_manifest(self, manifest: dict) -> None:
+        """Guard against resuming into a store written by a DIFFERENT run.
+
+        On first save the caller persists a small fingerprint of the run
+        (seed, config hash, target hash); a resumed run with mismatching
+        parameters would otherwise silently splice stale rows from the old
+        run into the new log. Raises ValueError on mismatch. Fields whose
+        value is None are not compared (e.g. num_frames: extending a run
+        with more frames is the intended resume use)."""
+        path = os.path.join(self.root, "run_manifest.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                existing = json.load(f)
+            bad = {k: (existing.get(k), v) for k, v in manifest.items()
+                   if v is not None and existing.get(k) != v}
+            if bad:
+                raise ValueError(
+                    f"checkpoint store at {self.root} was written by a "
+                    f"different run; mismatched fields {bad}. Use a fresh "
+                    "--out directory or delete the stale store.")
+        else:
+            os.makedirs(self.root, exist_ok=True)
+            tmp = path + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump({k: v for k, v in manifest.items()
+                           if v is not None}, f, indent=1)
+            os.replace(tmp, path)
 
     def frames_done(self, stage: str) -> list[int]:
         """Frame indices persisted for a stage — the resume point for a

@@ -33,7 +33,7 @@ from ..config.params import RadarConfig
 from ..pipeline.frame import make_frame_processor
 from ..sim.scenario import TargetBatch
 from ..waveform.precompute import Precomputed
-from .mesh import AXIS_DP
+from .mesh import AXIS_CPI, AXIS_DP
 
 
 def broadcast_targets(targets: TargetBatch, n: int) -> TargetBatch:
@@ -81,6 +81,46 @@ def make_dp_frame_processor(cfg: RadarConfig, mesh: Mesh,
         if n % n_dp:
             raise ValueError(f"batch {n} not divisible by {axis}={n_dp}")
         return f(keys, targets)
+
+    return jax.jit(process_batch)
+
+
+def make_dp_sharded_frame_processor(cfg: RadarConfig, mesh: Mesh,
+                                    precomp: Precomputed | None = None,
+                                    dtype=jnp.complex64, axis: str = AXIS_DP):
+    """dp x model-parallel COMPOSITION: jitted ``process_batch(keys [N, ...],
+    targets [N, K]) -> FrameResult batched [N]`` where the batch axis shards
+    over the mesh ``dp`` axis and EACH frame is GSPMD-sharded over the
+    remaining model axes (ch-sharded synthesis + psum DBF, cpi pulse/gate
+    sharding with the all_to_all MTD reshard) — the configuration a real pod
+    uses: dp across hosts on DCN, ch/cpi within a host on ICI
+    (parallel/multihost.py mesh order; SURVEY.md section 2.3 composed
+    strategies).
+
+    Pure GSPMD: the single-frame sharded pipeline (parallel/sharded.py,
+    built with ``frame_axes=(cpi,)`` so dp stays free for the batch) is
+    vmapped over the batch axis; ``with_sharding_constraint``'s batching
+    rule threads the inner ch/cpi constraints under the new dimension, and
+    outer dp constraints on inputs/outputs pin the batch layout. Parity vs
+    the per-frame single-device pipeline: tests/test_dp.py."""
+    from .sharded import make_sharded_frame_processor
+
+    process = make_sharded_frame_processor(cfg, mesh, precomp, dtype=dtype,
+                                           jit=False,
+                                           frame_axes=(AXIS_CPI,))
+    vproc = jax.vmap(process)
+
+    def lead(x):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(axis)))
+
+    def process_batch(keys, targets: TargetBatch):
+        n = keys.shape[0]
+        n_dp = mesh.shape[axis]
+        if n % n_dp:
+            raise ValueError(f"batch {n} not divisible by {axis}={n_dp}")
+        out = vproc(lead(keys), jax.tree.map(lead, targets))
+        return jax.tree.map(lead, out)
 
     return jax.jit(process_batch)
 

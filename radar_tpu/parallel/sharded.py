@@ -45,10 +45,18 @@ from .mesh import AXIS_CH, AXIS_CPI, AXIS_DP
 
 def make_sharded_frame_processor(cfg: RadarConfig, mesh: Mesh,
                                  precomp: Precomputed | None = None,
-                                 dtype=jnp.complex64):
+                                 dtype=jnp.complex64, jit: bool = True,
+                                 frame_axes: tuple = (AXIS_DP, AXIS_CPI)):
     """Jitted ``process(key, targets) -> FrameResult`` sharded over ``mesh``.
     Results match the single-device pipeline (collectives only change *where*
-    values are computed)."""
+    values are computed).
+
+    ``frame_axes``: mesh axes the frame's pulse/gate dimensions shard over
+    (default dp+cpi). The dp x model-parallel composition
+    (:func:`radar_tpu.parallel.dp.make_dp_sharded_frame_processor`) passes
+    ``(AXIS_CPI,)`` so the dp axis is free to carry the frame-batch
+    dimension instead. ``jit=False`` returns the raw traceable fn (for
+    vmapping in that composition)."""
     if precomp is None:
         precomp = precompute(cfg)
     plan = make_plan(precomp)
@@ -65,14 +73,14 @@ def make_sharded_frame_processor(cfg: RadarConfig, mesh: Mesh,
     mc = measure_consts(cfg, precomp, real_dtype)
     ip = cfg.interp
 
-    pulse_axes = (AXIS_DP, AXIS_CPI)
+    pulse_axes = tuple(frame_axes)
     cube_spec = NamedSharding(mesh, P(pulse_axes, None, AXIS_CH))
     beams_spec = NamedSharding(mesh, P(pulse_axes, None, None))
     # gates shard over the SAME axis group as pulses: the pulses->gates
     # reshard then maps onto an all_to_all within fixed device groups; adding
     # the ch axis here forces GSPMD into a full rematerialization
     # ("involuntary full remat" warning) because the source is ch-replicated
-    gate_spec = NamedSharding(mesh, P(None, (AXIS_DP, AXIS_CPI), None))
+    gate_spec = NamedSharding(mesh, P(None, pulse_axes, None))
     repl = NamedSharding(mesh, P())
     cs = jax.lax.with_sharding_constraint
 
@@ -125,4 +133,4 @@ def make_sharded_frame_processor(cfg: RadarConfig, mesh: Mesh,
         return FrameResult(targets=final, num_raw_detections=dets.count,
                            num_final=final.count.astype(jnp.int32))
 
-    return jax.jit(process)
+    return jax.jit(process) if jit else process

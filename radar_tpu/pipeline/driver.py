@@ -243,6 +243,26 @@ def run_multiframe_device(cfg: RadarConfig, initial_targets: TargetBatch,
     return log, tracks
 
 
+def _run_fingerprint(cfg: RadarConfig, targets: TargetBatch,
+                     seed: int) -> dict:
+    """Stable fingerprint of (config, initial scene, seed) for the resume
+    manifest. RadarConfig is a frozen-dataclass tree, so its repr is a
+    deterministic function of every field; the target batch hashes by
+    array bytes."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for f in (targets.range_m, targets.velocity_ms, targets.elevation_deg,
+              targets.snr_db):
+        h.update(np.ascontiguousarray(np.asarray(f, np.float64)).tobytes())
+    return {
+        "seed": int(seed),
+        "config_sha": hashlib.sha256(repr(cfg).encode()).hexdigest()[:16],
+        "targets_sha": h.hexdigest()[:16],
+        "num_frames": None,  # extending a run is allowed; not compared
+    }
+
+
 def run_multiframe(cfg: RadarConfig, initial_targets: TargetBatch,
                    num_frames: int, seed: int = 0, processor=None,
                    precomp=None, dtype=None, progress: bool = False,
@@ -268,6 +288,8 @@ def run_multiframe(cfg: RadarConfig, initial_targets: TargetBatch,
     scen = Scenario.from_initial(initial_targets, cfg)
     log = DetectionLog.empty()
     key = jax.random.PRNGKey(seed)
+    if store is not None:
+        store.check_manifest(_run_fingerprint(cfg, initial_targets, seed))
     done = set(store.frames_done("measurements")) if store else set()
     for frame_idx in range(1, num_frames + 1):
         targets = scen.step(cfg)

@@ -85,12 +85,38 @@ def run_streaming_mc(cfg: RadarConfig, num_scenes: int = 16,
                      precomp: Precomputed | None = None,
                      dtype=jnp.complex64, snr_range=(0.0, 20.0),
                      match_gate_r: float = 60.0, match_gate_v: float = 3.0,
-                     progress: bool = False) -> StreamingStats:
+                     progress: bool = False, dp_trials: bool = False,
+                     store=None) -> StreamingStats:
     """Total injected targets = num_scenes*targets_per_scene*trials_per_scene
-    (10k-scale via e.g. 80 scenes x 32 targets x 4 trials)."""
+    (10k-scale via e.g. 80 scenes x 32 targets x 4 trials).
+
+    ``dp_trials=True`` (with a mesh carrying a dp axis): the trial batch
+    shards ACROSS devices via the perf-path dp processor
+    (parallel/dp.py) — each device runs complete frames for its slice of
+    the trials, the reference's parfor boundary
+    (main_plot_snr_vs_angle_error.m:167) on the mesh.
+
+    ``store``: an ``io.orbax_store.OrbaxFrameStore`` enabling ELASTIC
+    recovery (SURVEY.md sections 5.3/5.4): each scene's sharded trial-
+    result batch is checkpointed shard-local (no host gather); a rerun
+    with the same (seed, scene schedule) replays completed scenes from
+    disk — restored onto the CURRENT mesh's sharding via explicit
+    ``like=`` shardings, so the run may resume on a DIFFERENT mesh shape
+    (e.g. dp=4 -> dp=2) with field-exact final statistics
+    (tests/test_streaming.py::test_streaming_orbax_elastic_resume)."""
     if precomp is None:
         precomp = precompute(cfg)
-    if mesh is not None:
+    if mesh is not None and dp_trials:
+        from ..parallel.dp import (broadcast_targets,
+                                   make_dp_frame_processor)
+
+        proc_dp = make_dp_frame_processor(cfg, mesh, precomp, dtype=dtype)
+
+        def trial_batch(keys, truth):
+            tb = broadcast_targets(jax.tree.map(jnp.asarray, truth),
+                                   keys.shape[0])
+            return proc_dp(keys, tb)
+    elif mesh is not None:
         # the mesh path shards WITHIN each trial (dp+cpi over pulses, ch
         # over channels); trials run back-to-back. (vmapping the sharded
         # program also works on TPU but trips an XLA:CPU FFT layout
@@ -109,13 +135,48 @@ def run_streaming_mc(cfg: RadarConfig, num_scenes: int = 16,
 
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
+    done = set(store.frames_done()) if store is not None else set()
+    like_cache = None
+
+    def sharded_like(keys, truth):
+        """Abstract result tree with EXPLICIT shardings on the CURRENT
+        mesh (trial axis over dp) — what makes cross-mesh-shape restore
+        well-defined instead of orbax's 'unsafe topology' guess."""
+        nonlocal like_cache
+        if like_cache is None:
+            abs_tree = jax.eval_shape(trial_batch, keys, truth)
+            if mesh is not None and dp_trials:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ..parallel.mesh import AXIS_DP
+
+                sh = NamedSharding(mesh, P(AXIS_DP))
+                abs_tree = jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                                   sharding=sh), abs_tree)
+            like_cache = (jax.tree.leaves(abs_tree),
+                          jax.tree.structure(abs_tree))
+        return like_cache
+
     all_snr, all_det = [], []
     all_dr, all_dv = [], []
     for s in range(num_scenes):
+        # the scene rng ADVANCES for replayed scenes too: truth must be the
+        # deterministic function of (seed, scene index) the original run saw
         truth = random_scene(rng, targets_per_scene, cfg, snr_range)
         keys = jax.random.split(jax.random.fold_in(key, s),
                                 trials_per_scene)
-        results = jax.block_until_ready(trial_batch(keys, truth))
+        if store is not None and (s + 1) in done:
+            leaves, treedef = sharded_like(keys, truth)
+            saved = store.restore(
+                s + 1, like={f"l{i}": x for i, x in enumerate(leaves)})
+            results = jax.tree.unflatten(
+                treedef, [saved[f"l{i}"] for i in range(len(leaves))])
+        else:
+            results = jax.block_until_ready(trial_batch(keys, truth))
+            if store is not None:
+                store.save(s + 1, {f"l{i}": x for i, x in
+                                   enumerate(jax.tree.leaves(results))})
         for t in range(trials_per_scene):
             one = jax.tree.map(lambda x: x[t], results)
             det, dr, dv = _match_rate(one.targets, truth, match_gate_r,
@@ -128,10 +189,17 @@ def run_streaming_mc(cfg: RadarConfig, num_scenes: int = 16,
             print(f"scene {s + 1}/{num_scenes}: "
                   f"rate={np.mean(all_det[-trials_per_scene:]):.2f}")
 
-    snr = np.concatenate(all_snr)
-    det = np.concatenate(all_det)
-    dr = np.concatenate(all_dr)
-    dv = np.concatenate(all_dv)
+    return aggregate_stats(np.concatenate(all_snr), np.concatenate(all_det),
+                           np.concatenate(all_dr), np.concatenate(all_dv),
+                           snr_range)
+
+
+def aggregate_stats(snr: np.ndarray, det: np.ndarray, dr: np.ndarray,
+                    dv: np.ndarray, snr_range) -> StreamingStats:
+    """Detection-rate statistics from flat per-injected-target records —
+    shared by the in-process loop above and the multi-process scene-sharded
+    runner (scripts/run_multiprocess.py --streaming), which gathers the
+    records across processes before aggregating."""
     edges = np.linspace(snr_range[0], snr_range[1], 9)
     bins = np.clip(np.digitize(snr, edges) - 1, 0, len(edges) - 2)
     rate = np.zeros(len(edges) - 1)

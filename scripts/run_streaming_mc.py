@@ -30,6 +30,14 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=8)
     ap.add_argument("--snr", default="-5:20", help="min:max injected SNR dB")
     ap.add_argument("--json", default=None)
+    ap.add_argument("--dp", type=int, default=0,
+                    help="shard trials over a dp mesh axis of this size "
+                         "(the reference's parfor boundary on the mesh)")
+    ap.add_argument("--orbax", default=None, metavar="DIR",
+                    help="elastic recovery: checkpoint each scene's sharded "
+                         "trial results here; a rerun resumes completed "
+                         "scenes from disk, even onto a different --dp")
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     if args.cpu:
@@ -48,10 +56,25 @@ def main() -> None:
 
         cfg = perf_config(cfg, pallas=not args.cpu)
     lo, hi = (float(x) for x in args.snr.split(":"))
+    mesh = None
+    if args.dp:
+        from radar_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=args.dp)
+    store = None
+    if args.orbax:
+        from radar_tpu.io.orbax_store import OrbaxFrameStore
+
+        store = OrbaxFrameStore(args.orbax)
+        if store.frames_done():
+            print(f"resuming: scenes {store.frames_done()} replay from "
+                  f"{args.orbax}")
     t0 = time.time()
     stats = run_streaming_mc(cfg, num_scenes=args.scenes,
                              targets_per_scene=args.targets,
-                             trials_per_scene=args.trials,
+                             trials_per_scene=args.trials, seed=args.seed,
+                             mesh=mesh, dp_trials=bool(args.dp),
+                             store=store,
                              snr_range=(lo, hi), progress=True)
     wall = time.time() - t0
     total = args.scenes * args.targets * args.trials

@@ -93,6 +93,55 @@ def test_music_2d_ura():
     np.testing.assert_allclose(got, want, atol=1.5)
 
 
+def test_music_2d_device_peaks_match_host():
+    """The device-side regional-max picker (stencil + top_k) returns the
+    same peaks as the host numpy picker on the reference 8x8 problem."""
+    nx = ny = 8
+    truth = np.array([[20.0, 30.0], [-30.0, 60.0]])
+    a = steering_ura(truth[:, 0], truth[:, 1], nx, ny, 0.5)
+    cols = [a[:, i * len(truth[:, 1]) + i] for i in range(2)]
+    a_src = np.stack(cols, axis=1)
+    rng = np.random.default_rng(0)
+    k = 256
+    s = (rng.normal(size=(2, k)) + 1j * rng.normal(size=(2, k))) / np.sqrt(2)
+    n = (rng.normal(size=(nx * ny, k)) + 1j * rng.normal(size=(nx * ny, k))
+         ) * np.sqrt(0.5) * 0.1
+    x = jnp.asarray(a_src @ s + n)
+    res_dev = music_2d(x, 2, nx, ny, 0.5, peak_impl="device")
+    res_host = music_2d(x, 2, nx, ny, 0.5, peak_impl="host")
+    np.testing.assert_array_equal(res_dev.peaks_deg, res_host.peaks_deg)
+
+
+def test_music_2d_128el_scaled():
+    """BASELINE.json config 4: MUSIC 2D at the 128-element aperture — a
+    16x8 URA, covariance accumulated via the snapshot-sharded psum path on
+    the 8-device mesh, a 0.25-degree grid, and device-side regional-max
+    peak picking (MUSIC_2D.m:32-93,119-144 scaled 2x in elements and 4x in
+    grid density)."""
+    from radar_tpu.parallel.mesh import make_mesh
+
+    nx, ny = 16, 8
+    truth = np.array([[12.0, 25.0], [15.0, 25.0], [-40.0, 55.0]])
+    a = steering_ura(truth[:, 0], truth[:, 1], nx, ny, 0.5)
+    g_el = len(truth[:, 1])
+    a_src = np.stack([a[:, i * g_el + i] for i in range(len(truth))], axis=1)
+    rng = np.random.default_rng(3)
+    k = 512
+    m = len(truth)
+    s = (rng.normal(size=(m, k)) + 1j * rng.normal(size=(m, k))) / np.sqrt(2)
+    n = (rng.normal(size=(nx * ny, k))
+         + 1j * rng.normal(size=(nx * ny, k))) * np.sqrt(0.5) * 0.3
+    x = jnp.asarray(a_src @ s + n, jnp.complex64)
+    az = np.arange(-60.0, 60.0 + 1e-9, 0.25)
+    el = np.arange(10.0, 80.0 + 1e-9, 0.25)
+    res = music_2d(x, m, nx, ny, 0.5, az_deg=az, el_deg=el,
+                   peak_impl="device", mesh=make_mesh(cpi=8))
+    got = res.peaks_deg[np.argsort(res.peaks_deg[:, 0])]
+    want = truth[np.argsort(truth[:, 0])]
+    # 3-degree az separation resolved; 0.25-deg grid quantization bound
+    np.testing.assert_allclose(got, want, atol=0.5)
+
+
 def test_sigma_delta_monopulse_demo():
     """singlepulse_angle.m: self-calibrated slope recovers a 2-degree
     off-boresight target."""
@@ -184,6 +233,28 @@ def test_root_music_matches_truth_beyond_grid_resolution():
                            snr_db=20.0, dtype=jnp.complex128)
     est = root_music_1d(x, 2, d, WAVELENGTH)
     np.testing.assert_allclose(est, truth, atol=0.05)
+
+
+def test_root_music_degenerate_noiseless_covariance():
+    """A NOISELESS (rank-deficient) covariance pushes signal roots
+    numerically onto/past the unit circle; root selection over conjugate-
+    reciprocal pairs by |1-|z|| must still return exactly num_sources
+    angles at the truth (an inside-only filter silently returned fewer —
+    ADVICE r3)."""
+    from radar_tpu.doa.steering import steering_vector
+    from radar_tpu.doa.superres import root_music_1d
+
+    cfg = full_config()
+    d = cfg.array.element_spacing
+    truth = [-10.0, 5.0]
+    a = steering_vector(np.asarray(truth), 16, d, WAVELENGTH)
+    rng = np.random.default_rng(1)
+    k = 64
+    s = (rng.normal(size=(2, k)) + 1j * rng.normal(size=(2, k)))
+    x = jnp.asarray(a @ s, jnp.complex128)  # zero noise
+    est = root_music_1d(x, 2, d, WAVELENGTH)
+    assert len(est) == 2
+    np.testing.assert_allclose(est, sorted(truth), atol=1e-3)
 
 
 def test_esprit_matches_truth_and_agrees_with_root_music():

@@ -11,6 +11,7 @@ import pytest
 
 from radar_tpu.config.params import perf_config, small_test_config
 from radar_tpu.parallel.dp import (make_dp_frame_processor,
+                                   make_dp_sharded_frame_processor,
                                    make_dp_trial_fn)
 from radar_tpu.parallel.mesh import make_mesh
 from radar_tpu.pipeline.frame import make_frame_processor
@@ -65,6 +66,52 @@ def test_dp_frame_batch_matches_single_device(pallas):
             np.testing.assert_array_equal(
                 np.asarray(getattr(out.targets, field)[i]),
                 np.asarray(getattr(ref.targets, field)))
+
+
+@pytest.mark.parametrize("lowrank", [False, True])
+def test_dp_model_parallel_composition(lowrank):
+    """dp x model-parallel: batch sharded over dp=2, EACH frame GSPMD-
+    sharded over (ch=2, cpi=2) — the real-pod composition (dp on DCN,
+    ch/cpi on ICI) — for both the stream path and the XLA lowrank perf
+    chain. The parity reference is the VMAPPED single-device pipeline
+    (identical program minus the sharding annotations): sharding may only
+    change WHERE values are computed, so counts must match exactly and
+    fields to fp-reassociation level. (vmap itself re-batches the lowrank
+    chain's dots, which flips a couple of near-threshold CFAR cells vs
+    the per-frame run — measured 46-48 raw on the trivial dp=1 mesh too,
+    an orthogonal, pre-existing property of every vmapped trial path.)"""
+    cfg = small_test_config(channels=8, pulses=32)
+    if lowrank:
+        # f32 matmuls: the CPU DotThunk has no batched bf16 dot (the vmap
+        # adds the batch dim); bf16 is a per-dot precision knob orthogonal
+        # to the sharding composition under test here
+        cfg = perf_config(cfg, pallas=False).replace(
+            matmul_precision="f32")
+    pre = precompute(cfg)
+    mesh = make_mesh(dp=2, ch=2, cpi=2)
+    proc = make_dp_sharded_frame_processor(cfg, mesh, pre)
+    n = 4
+    keys = _keys(n, seed=7)
+    tb = _batched_targets(n)
+    out = jax.block_until_ready(proc(jnp.asarray(keys), tb))
+
+    vref = jax.jit(jax.vmap(make_frame_processor(cfg, pre, jit=False)))
+    ref = jax.block_until_ready(vref(jnp.asarray(keys), tb))
+    np.testing.assert_array_equal(np.asarray(out.num_raw_detections),
+                                  np.asarray(ref.num_raw_detections))
+    np.testing.assert_array_equal(np.asarray(out.num_final),
+                                  np.asarray(ref.num_final))
+    np.testing.assert_array_equal(np.asarray(out.targets.valid),
+                                  np.asarray(ref.targets.valid))
+    gv = np.asarray(ref.targets.valid, bool)
+    for field in ("range_m", "velocity_ms", "angle_deg", "power"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out.targets, field))[gv],
+            np.asarray(getattr(ref.targets, field))[gv],
+            rtol=1e-5, atol=1e-5)
+    assert int(out.num_final.sum()) == n  # every scene's target detected
+    with pytest.raises(ValueError, match="not divisible"):
+        proc(jnp.asarray(_keys(3)), _batched_targets(3))
 
 
 def test_dp_frame_batch_rejects_indivisible():

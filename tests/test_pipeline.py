@@ -211,3 +211,44 @@ def test_multiframe_resume_after_crash(tmp_path):
         np.testing.assert_array_equal(getattr(log_res, field),
                                       getattr(log_full, field), err_msg=field)
     assert len(tracks_res) == len(tracks_full)
+
+    # a resumed run with different (seed | config | scene) must be REFUSED
+    # (run_manifest guard): splicing stale rows from another run's store
+    # would produce a self-consistent-looking but wrong log
+    with pytest.raises(ValueError, match="different run"):
+        run_multiframe(cfg, tb, num_frames=6, seed=5, processor=proc,
+                       store=store)
+    tb2 = TargetBatch.make([4000.0], [15.0], [10.0], [18.0])
+    with pytest.raises(ValueError, match="different run"):
+        run_multiframe(cfg, tb2, num_frames=6, seed=4, processor=proc,
+                       store=store)
+
+
+def test_checkpoint_save_is_atomic(tmp_path, monkeypatch):
+    """A crash mid-write must never leave a truncated frame_*.npz that
+    frames_done would count as complete (the exact failure restart-on-
+    failure exists to survive)."""
+    from radar_tpu.io.checkpoint import CheckpointStore, SaveOptions
+
+    store = CheckpointStore(str(tmp_path / "ck"),
+                            SaveOptions(measurements=True))
+    store.save("measurements", 1, range_m=np.arange(3.0))
+    assert store.frames_done("measurements") == [1]
+
+    # simulate a crash inside the compressed write of frame 2
+    real_savez = np.savez_compressed
+
+    def dying_savez(path, **kw):
+        real_savez(path, **kw)  # file exists on disk at the temp name...
+        raise KeyboardInterrupt  # ...but the process dies before replace
+
+    monkeypatch.setattr(np, "savez_compressed", dying_savez)
+    with pytest.raises(KeyboardInterrupt):
+        store.save("measurements", 2, range_m=np.arange(3.0))
+    monkeypatch.undo()
+    # the torn frame is invisible: no stale temp counted, frame 2 not done
+    assert store.frames_done("measurements") == [1]
+    assert not store.has("measurements", 2)
+    # and a rerun completes it normally
+    store.save("measurements", 2, range_m=np.arange(3.0))
+    assert store.frames_done("measurements") == [1, 2]
