@@ -49,6 +49,15 @@ def ondevice_loop_time(stage_fn, gen_fn, consume_fn, n1=3, n2=23):
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="comma-separated kernel-name substrings to run "
+                         "(others keep their recorded values)")
+    args = ap.parse_args()
+    only = args.only.split(",") if args.only else None
+
     from radar_tpu.config.params import full_config
     from radar_tpu.ops.dbf import dbf
     from radar_tpu.ops.mtd import mtd
@@ -56,8 +65,15 @@ def main() -> None:
                                                  pulse_compress_matmul)
     from radar_tpu.waveform.precompute import precompute
 
-    results = {"device": jax.devices()[0].device_kind,
-               "method": "on-device fori_loop, RNG input/iter, full consume"}
+    # merge into the existing artifact (preserves the roofline block from
+    # scripts/bench_roofline.py and any entries skipped via --only)
+    results = {}
+    if os.path.exists("results/kernel_bench.json"):
+        with open("results/kernel_bench.json") as f:
+            results = json.load(f)
+    results.update({
+        "device": jax.devices()[0].device_kind,
+        "method": "on-device fori_loop, RNG input/iter, full consume"})
     cfg = full_config()
     pre = precompute(cfg)
     mplan = make_matmul_plan(pre)
@@ -78,6 +94,9 @@ def main() -> None:
     r_sum = lambda y: jnp.sum(jnp.abs(y))
 
     def record(name, fn, gen, extra):
+        if only is not None and not any(s in name for s in only):
+            print(f"{name}: kept recorded value (--only)", flush=True)
+            return
         base = ondevice_loop_time(lambda x: x, gen,
                                   lambda y: jnp.real(y).ravel()[0])
         dt = ondevice_loop_time(fn, gen, r_sum) - base
@@ -94,7 +113,9 @@ def main() -> None:
     record("mtd_332pt", lambda x: mtd(x, mtd_win, None), cxgen((p, g, b)),
            lambda dt: {"msamples_per_s": round(p * g * b / dt / 1e6, 1)})
 
-    from radar_tpu.doa.music import covariance, music_spectrum_1d
+    from radar_tpu.doa.music import (covariance, music_spectrum_1d,
+                                     noise_subspace, regional_max_peaks_2d,
+                                     steering_ura)
 
     d = cfg.sig.wavelength / 2
     scan = np.arange(-90.0, 90.0, 0.05)
@@ -102,6 +123,25 @@ def main() -> None:
            lambda x: music_spectrum_1d(covariance(x), 3, scan, d,
                                        cfg.sig.wavelength),
            cxgen((128, 1024)), lambda dt: {})
+
+    # MUSIC 2D at the 128-element BASELINE-4 aperture: 16x8 URA, 481x281
+    # grid at 0.25 deg, spectrum + DEVICE-side regional-max peak picking
+    # (MUSIC_2D.m:32-93,119-144 scaled; grid matmul [C-M,C]x[C,G] on MXU)
+    az2 = np.arange(-60.0, 60.0 + 1e-9, 0.25)
+    el2 = np.arange(10.0, 80.0 + 1e-9, 0.25)
+    a2 = steering_ura(az2, el2, 16, 8, 0.5).astype(np.complex64)
+
+    def music2d(x):
+        en = noise_subspace(covariance(x), 3)
+        proj = jnp.conj(en.T) @ jnp.asarray(a2)
+        spec = (1.0 / (jnp.sum(jnp.abs(proj) ** 2, axis=0)
+                       + 1e-30)).reshape(len(az2), len(el2))
+        idx, vals = regional_max_peaks_2d(spec, 3)
+        return vals + idx.astype(jnp.float32)
+
+    record("music2d_128el_16x8ura_481x281grid", music2d,
+           cxgen((128, 512)),
+           lambda dt: {"grid_points": len(az2) * len(el2)})
 
     os.makedirs("results", exist_ok=True)
     with open("results/kernel_bench.json", "w") as f:

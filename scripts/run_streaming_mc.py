@@ -41,6 +41,13 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.cpu:
+        if args.dp:
+            # virtual CPU devices for the dp mesh (must precede jax init)
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "xla_force_host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + " --xla_force_host_platform_device_count="
+                    f"{args.dp}").strip()
         import jax
 
         jax.config.update("jax_platforms", "cpu")

@@ -43,3 +43,26 @@ def test_two_process_distributed_parity(tmp_path):
     assert names == {"stream_dpxch", "lowrank_dpxcpi", "trials_dp",
                      "perf_dp"}
     assert all(c["ok"] for c in report["checks"])
+
+
+@pytest.mark.slow
+def test_streaming_mc_across_processes(tmp_path):
+    """BASELINE config 5's process boundary: the scene-sharded streaming
+    Monte-Carlo across 2 coordinator-joined processes produces EXACTLY the
+    single-process statistics at the same seed (records gathered across
+    the jax.distributed boundary through the dp mesh)."""
+    out = tmp_path / "streaming_mc_multiproc.json"
+    proc = subprocess.run(
+        [sys.executable, SCRIPT, "--streaming", "--arms", "1,2",
+         "--scenes", "4", "--targets-per-scene", "3",
+         "--trials-per-scene", "2", "--logdir", str(tmp_path),
+         "--out", str(out), "--timeout", "540"],
+        env=dict(os.environ), cwd=REPO, capture_output=True, text=True,
+        timeout=600)
+    assert proc.returncode == 0, (
+        f"streaming multiproc run failed\nstdout:\n{proc.stdout}\n"
+        f"stderr:\n{proc.stderr}")
+    report = json.loads(out.read_text())
+    assert report["parity_exact_across_arms"] is True
+    assert report["arms"]["2"]["nproc"] == 2
+    assert report["arms"]["2"]["injected_targets"] == 4 * 3 * 2
