@@ -144,11 +144,34 @@ def regional_max_peaks_2d(spec: jnp.ndarray, num_sources: int
     return idx, vals
 
 
+def refine_peaks_zoom(en: jnp.ndarray, peaks_coarse: np.ndarray,
+                      nx: int, ny: int, spacing_wavelengths: float,
+                      daz: float, del_: float, factor: int = 20
+                      ) -> np.ndarray:
+    """Two-stage zoom refinement: around each coarse (az, el) peak,
+    re-evaluate the MUSIC spectrum on a dense +-1-cell local grid
+    (step = cell/``factor``) with the SAME noise subspace, and take its
+    maximum — sub-grid accuracy to cell/factor without the fragility of
+    parabola fits on a reciprocal-pole surface. One small
+    [C-M, C] x [C, (2f+1)^2] matmul per peak (M is tiny), device-side."""
+    out = []
+    nloc = 2 * factor + 1
+    for azc, elc in peaks_coarse:
+        az_l = np.linspace(azc - daz, azc + daz, nloc)
+        el_l = np.linspace(elc - del_, elc + del_, nloc)
+        a_l = jnp.asarray(steering_ura(az_l, el_l, nx, ny,
+                                       spacing_wavelengths), en.dtype)
+        d = jnp.sum(jnp.abs(jnp.conj(en.T) @ a_l) ** 2, axis=0)
+        k = int(jnp.argmin(d))          # min of the null spectrum
+        out.append((az_l[k // nloc], el_l[k % nloc]))
+    return np.asarray(out)
+
+
 def music_2d(x: jnp.ndarray, num_sources: int, nx: int, ny: int,
              spacing_wavelengths: float = 0.5,
              az_deg: np.ndarray | None = None,
              el_deg: np.ndarray | None = None,
-             peak_impl: str = "device",
+             peak_impl: str = "device", refine: bool = False,
              mesh=None, snapshot_axis: str = "cpi") -> MusicResult:
     """2D MUSIC over an (azimuth, elevation) grid; peaks by regional max
     (MUSIC_2D.m:119-144).
@@ -158,7 +181,11 @@ def music_2d(x: jnp.ndarray, num_sources: int, nx: int, ny: int,
     (parallel/collectives.covariance_snapshot_sharded — X's snapshot axis
     sharded over ``snapshot_axis``), and ``peak_impl="device"`` (default)
     ranks regional maxima on device (:func:`regional_max_peaks_2d`);
-    ``"host"`` keeps the numpy picker (the original 8x8 formulation)."""
+    ``"host"`` keeps the numpy picker (the original 8x8 formulation).
+    ``refine=True`` (device picker only) adds two-stage zoom refinement
+    (:func:`refine_peaks_zoom`: dense local re-evaluation at step/20
+    around each coarse peak, same noise subspace) — beyond the
+    reference's grid-quantized imregionalmax."""
     if az_deg is None:
         az_deg = np.arange(-90.0, 90.0 + 1e-9, 1.0)
     if el_deg is None:
@@ -180,8 +207,13 @@ def music_2d(x: jnp.ndarray, num_sources: int, nx: int, ny: int,
     if peak_impl == "device":
         idx, _ = regional_max_peaks_2d(spec, num_sources)
         ii, jj = np.unravel_index(np.asarray(idx), spec.shape)
-        peaks = np.stack([np.asarray(az_deg)[ii],
-                          np.asarray(el_deg)[jj]], axis=1)
+        az0, el0 = np.asarray(az_deg), np.asarray(el_deg)
+        peaks = np.stack([az0[ii], el0[jj]], axis=1)
+        if refine:
+            daz = az0[1] - az0[0] if len(az0) > 1 else 1.0
+            del_ = el0[1] - el0[0] if len(el0) > 1 else 1.0
+            peaks = refine_peaks_zoom(en, peaks, nx, ny,
+                                      spacing_wavelengths, daz, del_)
         return MusicResult((np.asarray(az_deg), np.asarray(el_deg)), spec,
                            peaks)
 

@@ -113,6 +113,65 @@ def root_music_1d(x: jnp.ndarray, num_sources: int, element_spacing: float,
                                  wavelength))
 
 
+def _rotation_operator(e1: np.ndarray, e2: np.ndarray, m: int,
+                       tls: bool) -> np.ndarray:
+    """Psi solving E1 @ Psi ~= E2 — LS or total-least-squares (eigh of the
+    stacked [2M, 2M] Gram; noise lives in BOTH subarray copies)."""
+    if tls:
+        stacked = np.concatenate([e1, e2], axis=1)   # [rows, 2M]
+        g = np.conj(stacked.T) @ stacked
+        _, v = np.linalg.eigh(g)
+        vn = v[:, :m]                                # smallest M eigenpairs
+        v12, v22 = vn[:m], vn[m:]
+        return -v12 @ np.linalg.inv(v22)
+    psi, *_ = np.linalg.lstsq(e1, e2, rcond=None)
+    return psi
+
+
+def esprit_2d(x: jnp.ndarray, num_sources: int, nx: int, ny: int,
+              spacing_wavelengths: float = 0.5, tls: bool = True
+              ) -> np.ndarray:
+    """2D (TLS-)ESPRIT on a URA: search-free, AUTOMATICALLY PAIRED
+    (az, el) estimates — the closed-form counterpart of the grid
+    ``music_2d`` scan (MUSIC_2D.m steering model: element (x, y) phase
+    2*pi*d*(x*u + y*v), u = cos(el)cos(az), v = cos(el)sin(az));
+    beyond-reference, no 2D counterpart exists in the reference.
+
+    Two maximal-overlap invariances (x-shift: element i vs i+ny; y-shift:
+    i vs i+1 in the x-major layout of :func:`..music.steering_ura`) give
+    rotation operators Psi_x, Psi_y sharing eigenvectors. Pairing is
+    automatic: T diagonalizes Psi_x + Psi_y (generically distinct
+    eigenvalues even when two sources share one axis projection), then
+    u_m, v_m read off diag(T^-1 Psi_{x,y} T) — no az/el association
+    search. Heavy ops (covariance + eigh) on device; the [M, M] tail on
+    host (no TPU non-symmetric eig). Returns [M, 2] (az_deg, el_deg)
+    sorted by azimuth. Coherent sources need 2D smoothing (not
+    implemented) — use the grid scan there."""
+    r = covariance(x)
+    c = nx * ny
+    if r.shape[0] != c:
+        raise ValueError(f"snapshots have {r.shape[0]} rows, URA needs {c}")
+    m = int(num_sources)
+    if not 0 < m < min(c, (nx - 1) * ny, nx * (ny - 1)):
+        raise ValueError(f"bad num_sources {m} for {nx}x{ny} URA")
+    _, vecs = jnp.linalg.eigh(r)
+    es = np.asarray(vecs[:, c - m:])                 # [C, M] signal space
+    idx = np.arange(c)
+    sx = idx[idx // ny < nx - 1]                     # x-shift pairs
+    sy = idx[idx % ny < ny - 1]                      # y-shift pairs
+    psi_x = _rotation_operator(es[sx], es[sx + ny], m, tls)
+    psi_y = _rotation_operator(es[sy], es[sy + 1], m, tls)
+    _, t = np.linalg.eig(psi_x + psi_y)              # shared eigenvectors
+    tinv = np.linalg.inv(t)
+    k = 2.0 * np.pi * spacing_wavelengths
+    u = np.angle(np.diag(tinv @ psi_x @ t)) / k
+    v = np.angle(np.diag(tinv @ psi_y @ t)) / k
+    az = np.rad2deg(np.arctan2(v, u))
+    el = np.rad2deg(np.arccos(np.clip(np.hypot(u, v), 0.0, 1.0)))
+    out = np.stack([az, el], axis=1)
+    return out[np.argsort(out[:, 0])]
+
+
 def esprit_1d(x: jnp.ndarray, num_sources: int, element_spacing: float,
               wavelength: float, tls: bool = True,
               smooth: int | None = None) -> np.ndarray:
@@ -139,17 +198,6 @@ def esprit_1d(x: jnp.ndarray, num_sources: int, element_spacing: float,
         raise ValueError(f"need 0 < num_sources < channels, got {m}/{c}")
     _, vecs = jnp.linalg.eigh(r)                     # ascending
     es = np.asarray(vecs[:, c - m:])                 # [C, M] signal space
-    e1, e2 = es[:-1], es[1:]
-    if tls:
-        # TLS: eigh of [E1 E2]^H [E1 E2]; partition the smallest-M
-        # eigenvector block V12/V22 -> Psi = -V12 V22^-1
-        stacked = np.concatenate([e1, e2], axis=1)   # [C-1, 2M]
-        g = np.conj(stacked.T) @ stacked             # [2M, 2M]
-        _, v = np.linalg.eigh(g)
-        vn = v[:, :m]                                # smallest M eigenpairs
-        v12, v22 = vn[:m], vn[m:]
-        psi = -v12 @ np.linalg.inv(v22)
-    else:
-        psi, *_ = np.linalg.lstsq(e1, e2, rcond=None)
+    psi = _rotation_operator(es[:-1], es[1:], m, tls)
     phases = np.angle(np.linalg.eigvals(psi))
     return np.sort(_phase_to_deg(phases, element_spacing, wavelength))

@@ -142,6 +142,37 @@ def test_music_2d_128el_scaled():
     np.testing.assert_allclose(got, want, atol=0.5)
 
 
+def test_music_2d_subgrid_refinement():
+    """refine=True (log-parabola vertex around each device-picked peak)
+    recovers OFF-GRID truths well under the grid step — beyond the
+    reference's grid-quantized imregionalmax picker."""
+    nx, ny = 16, 8
+    truth = np.array([[12.3, 25.7], [-40.6, 55.4]])   # off the 1-deg grid
+    a = steering_ura(truth[:, 0], truth[:, 1], nx, ny, 0.5)
+    g_el = len(truth[:, 1])
+    a_src = np.stack([a[:, i * g_el + i] for i in range(len(truth))],
+                     axis=1)
+    rng = np.random.default_rng(4)
+    k = 512
+    m = len(truth)
+    s = (rng.normal(size=(m, k)) + 1j * rng.normal(size=(m, k))) / np.sqrt(2)
+    n = (rng.normal(size=(nx * ny, k))
+         + 1j * rng.normal(size=(nx * ny, k))) * np.sqrt(0.5) * 0.1
+    x = jnp.asarray(a_src @ s + n, jnp.complex64)
+    az = np.arange(-60.0, 60.0 + 1e-9, 1.0)
+    el = np.arange(10.0, 80.0 + 1e-9, 1.0)
+    coarse = music_2d(x, m, nx, ny, 0.5, az_deg=az, el_deg=el)
+    fine = music_2d(x, m, nx, ny, 0.5, az_deg=az, el_deg=el, refine=True)
+    want = truth[np.argsort(truth[:, 0])]
+    gc = coarse.peaks_deg[np.argsort(coarse.peaks_deg[:, 0])]
+    gf = fine.peaks_deg[np.argsort(fine.peaks_deg[:, 0])]
+    err_c = np.abs(gc - want).max()
+    err_f = np.abs(gf - want).max()
+    assert err_c <= 0.5 + 1e-6          # grid-quantization bound
+    assert err_f < 0.15                 # well under the 1-deg step
+    assert err_f < err_c                # refinement strictly helps here
+
+
 def test_sigma_delta_monopulse_demo():
     """singlepulse_angle.m: self-calibrated slope recovers a 2-degree
     off-boresight target."""
@@ -233,6 +264,43 @@ def test_root_music_matches_truth_beyond_grid_resolution():
                            snr_db=20.0, dtype=jnp.complex128)
     est = root_music_1d(x, 2, d, WAVELENGTH)
     np.testing.assert_allclose(est, truth, atol=0.05)
+
+
+def test_esprit_2d_ura_paired_offgrid():
+    """2D TLS-ESPRIT on the 16x8 URA (beyond-reference): search-free,
+    automatically PAIRED (az, el) — recovers off-grid truths including two
+    sources sharing (nearly) one azimuth, where a naive per-axis pairing
+    would scramble."""
+    from radar_tpu.doa.superres import esprit_2d
+
+    nx, ny = 16, 8
+    truth = np.array([[12.34, 25.71], [12.9, 55.43], [-40.62, 40.2]])
+    a = steering_ura(truth[:, 0], truth[:, 1], nx, ny, 0.5)
+    g_el = len(truth[:, 1])
+    a_src = np.stack([a[:, i * g_el + i] for i in range(len(truth))],
+                     axis=1)
+    rng = np.random.default_rng(6)
+    k, m = 512, len(truth)
+    s = (rng.normal(size=(m, k)) + 1j * rng.normal(size=(m, k))) / np.sqrt(2)
+    n = (rng.normal(size=(nx * ny, k))
+         + 1j * rng.normal(size=(nx * ny, k))) * np.sqrt(0.5) * 0.1
+    x = jnp.asarray(a_src @ s + n, jnp.complex128)
+    for tls in (True, False):
+        got = esprit_2d(x, m, nx, ny, 0.5, tls=tls)
+        want = truth[np.argsort(truth[:, 0])]
+        np.testing.assert_allclose(got, want, atol=0.15,
+                                   err_msg=f"tls={tls}")
+
+
+def test_esprit_2d_rejects_bad_args():
+    from radar_tpu.doa.superres import esprit_2d
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(128, 32))
+                    + 0j)
+    with pytest.raises(ValueError, match="bad num_sources"):
+        esprit_2d(x, 0, 16, 8)
+    with pytest.raises(ValueError, match="URA needs"):
+        esprit_2d(x, 2, 8, 8)
 
 
 def test_root_music_degenerate_noiseless_covariance():
