@@ -85,7 +85,8 @@ def zero_velocity_mask(num_v: int, num_suppress: int) -> jnp.ndarray:
 
 
 def segmented_cfar_1d(maps: jnp.ndarray, params: Cfar1DParams,
-                      gate_splits: tuple, delta_v_bin: float
+                      gate_splits: tuple, delta_v_bin: float,
+                      threshold_factor=None
                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full real-data CFAR on [V, G(, pairs)] amplitude maps.
 
@@ -94,6 +95,10 @@ def segmented_cfar_1d(maps: jnp.ndarray, params: Cfar1DParams,
     (main_test_with_simulated_data.m:120-123).
     Returns (flags bool, threshold) of the same shape; clutter-band rows are
     always False with zero threshold.
+
+    ``threshold_factor``: optional override of ``params.threshold_factor``;
+    may be a TRACED scalar (the threshold enters the compare linearly), so
+    an operating-curve sweep compiles once (scripts/run_roc_realdata.py).
     """
     num_v = maps.shape[0]
     n0v = int(params.mtd_zero_vel_ms / delta_v_bin)
@@ -102,13 +107,15 @@ def segmented_cfar_1d(maps: jnp.ndarray, params: Cfar1DParams,
     vshape[0] = num_v
     vmask_b = vmask.reshape(vshape)
 
+    t_cfar = (params.threshold_factor if threshold_factor is None
+              else threshold_factor)
     flags = []
     thresholds = []
     start = 0
     for width in gate_splits:
         seg = jnp.take(maps, jnp.arange(start, start + width), axis=1)
         f, t = _segment_cfar_1d(seg, params.guard_cells, params.ref_cells,
-                                params.threshold_factor, params.method,
+                                t_cfar, params.method,
                                 axis=1)
         flags.append(f)
         thresholds.append(t)

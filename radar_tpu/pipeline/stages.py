@@ -114,8 +114,8 @@ def _suppress_zero_velocity(rdm: jnp.ndarray, cfg: RadarConfig
     not cover and every all-zero row would fire the ``>=`` detector across
     all gates."""
     n0v = int(cfg.cfar1d.mtd_zero_vel_ms / _delta_v_bin(cfg.sig))
-    band = ~np.asarray(zero_velocity_mask(cfg.sig.prt_num, n0v))
-    return jnp.where(jnp.asarray(band)[:, None, None], 0.0, rdm)
+    band = ~zero_velocity_mask(cfg.sig.prt_num, n0v)  # jnp: jit-safe
+    return jnp.where(band[:, None, None], 0.0, rdm)
 
 
 def stage2_mtd(iq_beams: jnp.ndarray, cfg: RadarConfig,
@@ -182,15 +182,18 @@ def _delta_v_bin(sig) -> float:
     return sig.wavelength * (1.0 / sig.prt) / (2.0 * sig.prt_num)
 
 
-def stage3_detection(mtd_results: jnp.ndarray, cfg: RadarConfig
+def stage3_detection(mtd_results: jnp.ndarray, cfg: RadarConfig,
+                     threshold_factor=None
                      ) -> tuple[Detections, jnp.ndarray]:
     """Sum-beam segmented 1D CFAR; returns (prelim detections, cfar flag
-    cube [V, G, pairs])."""
+    cube [V, G, pairs]). ``threshold_factor`` optionally overrides the
+    config value and may be traced (operating-curve sweeps)."""
     sig = cfg.sig
     mag = jnp.abs(mtd_results)
     maps = mag[:, :, :-1] + mag[:, :, 1:]
     flags, _ = segmented_cfar_1d(maps, cfg.cfar1d, sig.point_prt_segments,
-                                 _delta_v_bin(sig))
+                                 _delta_v_bin(sig),
+                                 threshold_factor=threshold_factor)
     dets = extract_detections(flags, maps, cfg.cfar.max_detections)
     return dets, flags
 

@@ -46,6 +46,30 @@ def test_cfar1d_segment_matches_oracle():
         np.testing.assert_array_equal(np.asarray(got), want)
 
 
+def test_cfar1d_traced_threshold_matches_static():
+    """The traced threshold_factor override (operating-curve sweeps,
+    scripts/run_roc_realdata.py) produces bit-identical flags to baking
+    the same T into the params."""
+    import jax
+
+    cfg = RadarConfig()
+    sig = cfg.sig
+    rng = np.random.default_rng(3)
+    maps = jnp.asarray(rng.exponential(size=(32, sig.n_total_gate, 2)))
+    delta_v_bin = sig.wavelength / sig.prt / (2 * 32)
+    for t in (4.0, 8.0):
+        static, _ = segmented_cfar_1d(
+            maps, Cfar1DParams(threshold_factor=t), sig.point_prt_segments,
+            delta_v_bin)
+        traced, _ = jax.jit(
+            lambda tt: segmented_cfar_1d(maps, Cfar1DParams(),
+                                         sig.point_prt_segments,
+                                         delta_v_bin,
+                                         threshold_factor=tt))(jnp.float64(t))
+        np.testing.assert_array_equal(np.asarray(static),
+                                      np.asarray(traced), err_msg=str(t))
+
+
 def test_zero_velocity_mask_band():
     m = np.asarray(zero_velocity_mask(32, 3))
     center = 16
