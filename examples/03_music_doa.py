@@ -43,3 +43,30 @@ from radar_tpu.doa.superres import esprit_1d, root_music_1d
 
 print("root-MUSIC:", np.round(root_music_1d(x, 2, d, wl), 3))
 print("TLS-ESPRIT:", np.round(esprit_1d(x, 2, d, wl), 3))
+
+# ---- 2D: the URA (MUSIC_2D.m scaled to the 128-element aperture) ------
+# grid MUSIC with device-side regional-max peaks + two-stage zoom
+# refinement, vs search-free 2D TLS-ESPRIT with automatic (az, el)
+# pairing (both beyond the reference's 8x8 grid-only formulation)
+from radar_tpu.doa.music import music_2d, steering_ura
+from radar_tpu.doa.superres import esprit_2d
+
+nx, ny = 16, 8
+truth2 = np.array([[12.3, 25.7], [-40.6, 55.4]])      # off-grid (az, el)
+a2 = steering_ura(truth2[:, 0], truth2[:, 1], nx, ny, 0.5)
+cols = [a2[:, i * len(truth2) + i] for i in range(len(truth2))]
+rng = np.random.default_rng(0)
+s2 = (rng.normal(size=(2, 512)) + 1j * rng.normal(size=(2, 512)))
+n2 = (rng.normal(size=(nx * ny, 512))
+      + 1j * rng.normal(size=(nx * ny, 512))) * np.sqrt(0.5) * 0.1
+x2 = jnp.asarray(np.stack(cols, 1) @ s2 / np.sqrt(2) + n2, jnp.complex64)
+
+az = np.arange(-60.0, 60.0 + 1e-9, 1.0)
+el = np.arange(10.0, 80.0 + 1e-9, 1.0)
+coarse = music_2d(x2, 2, nx, ny, 0.5, az_deg=az, el_deg=el)
+fine = music_2d(x2, 2, nx, ny, 0.5, az_deg=az, el_deg=el, refine=True)
+print("\n2D truth (az, el):", truth2.tolist())
+print("grid MUSIC (1-deg grid):", coarse.peaks_deg.tolist())
+print("   + zoom refinement:   ", np.round(fine.peaks_deg, 2).tolist())
+print("2D TLS-ESPRIT (search-free, auto-paired):",
+      np.round(esprit_2d(x2, 2, nx, ny, 0.5), 2).tolist())

@@ -621,7 +621,8 @@ def bench_orchestrate(args) -> int:
             env["JAX_PLATFORMS"] = "cpu"
             flags = [f for f in env.get("XLA_FLAGS", "").split()
                      if "xla_force_host_platform_device_count" not in f]
-            flags.append("--xla_force_host_platform_device_count=1")
+            flags.append("--xla_force_host_platform_device_count="
+                         f"{args.devices_per_proc}")
             env["XLA_FLAGS"] = " ".join(flags)
             env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
             env["JAX_NUM_PROCESSES"] = str(nproc)
@@ -660,7 +661,10 @@ def bench_orchestrate(args) -> int:
                  "efficiency": (results[n]["trials_per_s"] / n) / base}
              for n in arms}
     ncores = os.cpu_count()
-    out = {"arms": results, "pinning": "1 core + 1 CPU device per process",
+    out = {"arms": results,
+           "pinning": f"1 core + {args.devices_per_proc} CPU device(s) "
+                      "per process",
+           "devices_per_proc": args.devices_per_proc,
            "per_proc_trials": args.trials_per_proc,
            "cpu_cores": ncores,
            "note": ("points with nproc > cpu_cores oversubscribe physical "
@@ -674,6 +678,9 @@ def bench_orchestrate(args) -> int:
                       for n in arms}))
     name = ("multiprocess_scaling_perf.json" if args.perf
             else "multiprocess_scaling.json")
+    if args.devices_per_proc > 1:
+        name = name.replace(".json",
+                            f"_{args.devices_per_proc}dev.json")
     path = os.path.join(REPO, "results", name)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
