@@ -113,6 +113,34 @@ def root_music_1d(x: jnp.ndarray, num_sources: int, element_spacing: float,
                                  wavelength))
 
 
+def spatial_smooth_2d(r: jnp.ndarray, nx: int, ny: int, lx: int, ly: int,
+                      forward_backward: bool = True) -> jnp.ndarray:
+    """2D forward(-backward) spatial smoothing for a URA covariance: the
+    average of all (nx-lx+1)*(ny-ly+1) overlapping lx-x-ly subarray
+    blocks of the full [nx*ny, nx*ny] covariance (x-major element order
+    of :func:`..music.steering_ura`), optionally after forward-backward
+    averaging. COHERENT 2D sources rank-collapse the raw covariance (see
+    :func:`spatial_smooth` for the 1D story); the smoothed [lx*ly, lx*ly]
+    output behaves as an lx-x-ly URA covariance — feed it to the subspace
+    2D methods with the reduced aperture."""
+    c = nx * ny
+    if r.shape[0] != c:
+        raise ValueError(f"covariance is {r.shape[0]}, URA needs {c}")
+    if not (1 < lx <= nx and 1 < ly <= ny):
+        raise ValueError(f"bad subarray {lx}x{ly} for {nx}x{ny}")
+    if forward_backward:
+        j = jnp.eye(c, dtype=r.dtype)[::-1]
+        r = 0.5 * (r + j @ jnp.conj(r) @ j)
+    # flat indices of the (px, py)-offset lx*ly subarray, x-major
+    base = (np.arange(lx)[:, None] * ny + np.arange(ly)[None, :]).ravel()
+    blocks = []
+    for px in range(nx - lx + 1):
+        for py in range(ny - ly + 1):
+            sel = jnp.asarray(base + px * ny + py)
+            blocks.append(r[jnp.ix_(sel, sel)])
+    return jnp.mean(jnp.stack(blocks), axis=0)
+
+
 def _rotation_operator(e1: np.ndarray, e2: np.ndarray, m: int,
                        tls: bool) -> np.ndarray:
     """Psi solving E1 @ Psi ~= E2 — LS or total-least-squares (eigh of the
@@ -129,8 +157,8 @@ def _rotation_operator(e1: np.ndarray, e2: np.ndarray, m: int,
 
 
 def esprit_2d(x: jnp.ndarray, num_sources: int, nx: int, ny: int,
-              spacing_wavelengths: float = 0.5, tls: bool = True
-              ) -> np.ndarray:
+              spacing_wavelengths: float = 0.5, tls: bool = True,
+              smooth: tuple | None = None) -> np.ndarray:
     """2D (TLS-)ESPRIT on a URA: search-free, AUTOMATICALLY PAIRED
     (az, el) estimates — the closed-form counterpart of the grid
     ``music_2d`` scan (MUSIC_2D.m steering model: element (x, y) phase
@@ -145,12 +173,19 @@ def esprit_2d(x: jnp.ndarray, num_sources: int, nx: int, ny: int,
     u_m, v_m read off diag(T^-1 Psi_{x,y} T) — no az/el association
     search. Heavy ops (covariance + eigh) on device; the [M, M] tail on
     host (no TPU non-symmetric eig). Returns [M, 2] (az_deg, el_deg)
-    sorted by azimuth. Coherent sources need 2D smoothing (not
-    implemented) — use the grid scan there."""
+    sorted by azimuth.
+
+    ``smooth=(lx, ly)``: 2D forward-backward spatial smoothing
+    (:func:`spatial_smooth_2d`) for COHERENT sources — the invariances
+    then live on the reduced lx-x-ly aperture."""
     r = covariance(x)
     c = nx * ny
     if r.shape[0] != c:
         raise ValueError(f"snapshots have {r.shape[0]} rows, URA needs {c}")
+    if smooth is not None:
+        lx, ly = smooth
+        r = spatial_smooth_2d(r, nx, ny, lx, ly)
+        nx, ny, c = lx, ly, lx * ly
     m = int(num_sources)
     if not 0 < m < min(c, (nx - 1) * ny, nx * (ny - 1)):
         raise ValueError(f"bad num_sources {m} for {nx}x{ny} URA")

@@ -52,6 +52,8 @@ def main():
     ap.add_argument("--noise-batch", type=int, default=100)
     ap.add_argument("--out", default=os.path.join(REPO, "results",
                                                   "roc_realdata.json"))
+    ap.add_argument("--png", default=os.path.join(REPO, "results",
+                                                  "roc_realdata.png"))
     args = ap.parse_args()
 
     import jax
@@ -226,6 +228,34 @@ def main():
     with open(args.out, "w") as fh:
         json.dump(report, fh, indent=1)
     print("wrote", args.out, flush=True)
+
+    if args.png:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(8, 9))
+        ax1.semilogy(T_SWEEP, np.maximum(pfa, 0.5 / cells), "bo-",
+                     label="measured Pfa")
+        ax1.semilogy(T_SWEEP, pfa_bound, "c--", label="95% upper bound")
+        ax1.axvline(T_REF, color="k", ls=":",
+                    label=f"reference T={T_REF:g}")
+        ax1.set_xlabel("threshold factor T")
+        ax1.set_ylabel("Pfa per valid cell (1D CA-GO)")
+        ax1.legend()
+        ax1.grid(True)
+        ax2.plot(T_SWEEP, np.asarray(pds) * 100, "ms-")
+        ax2.axvline(T_REF, color="k", ls=":")
+        ax2.set_xlabel("threshold factor T")
+        ax2.set_ylabel(f"Pd (%) at amp {args.amp} "
+                       f"({20 * np.log10(args.amp):+.1f} dB/sample)")
+        ax2.set_ylim(-5, 105)
+        ax2.grid(True)
+        fig.suptitle(headline, fontsize=8)
+        fig.tight_layout()
+        fig.savefig(args.png, dpi=110)
+        plt.close(fig)
+        print("figure:", args.png, flush=True)
 
 
 if __name__ == "__main__":

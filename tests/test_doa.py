@@ -292,6 +292,36 @@ def test_esprit_2d_ura_paired_offgrid():
                                    err_msg=f"tls={tls}")
 
 
+def test_esprit_2d_coherent_sources_with_2d_smoothing():
+    """Two COHERENT sources (multipath: the second is a scaled copy of
+    the first waveform) rank-collapse the raw URA covariance; 2D
+    forward-backward spatial smoothing restores the subspace and
+    esprit_2d(smooth=(12, 6)) recovers both (az, el) pairs."""
+    from radar_tpu.doa.superres import esprit_2d
+
+    nx, ny = 16, 8
+    truth = np.array([[10.5, 30.2], [-25.4, 52.8]])
+    a = steering_ura(truth[:, 0], truth[:, 1], nx, ny, 0.5)
+    g_el = len(truth[:, 1])
+    a_src = np.stack([a[:, i * g_el + i] for i in range(len(truth))],
+                     axis=1)
+    rng = np.random.default_rng(8)
+    k = 512
+    s0 = (rng.normal(size=k) + 1j * rng.normal(size=k)) / np.sqrt(2)
+    s = np.stack([s0, (0.8 * np.exp(1j * 2.1)) * s0])   # fully coherent
+    n = (rng.normal(size=(nx * ny, k))
+         + 1j * rng.normal(size=(nx * ny, k))) * np.sqrt(0.5) * 0.05
+    x = jnp.asarray(a_src @ s + n, jnp.complex128)
+
+    want = truth[np.argsort(truth[:, 0])]
+    raw = esprit_2d(x, 2, nx, ny, 0.5)
+    raw_err = np.abs(raw - want).max()
+    assert raw_err > 1.0, raw_err   # rank-collapsed: raw estimate breaks
+
+    sm = esprit_2d(x, 2, nx, ny, 0.5, smooth=(12, 6))
+    np.testing.assert_allclose(sm, want, atol=0.3)
+
+
 def test_esprit_2d_rejects_bad_args():
     from radar_tpu.doa.superres import esprit_2d
 
