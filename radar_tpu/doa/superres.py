@@ -8,14 +8,15 @@ angle-grid scan with closed-form extraction, which removes the grid-
 resolution floor (MUSIC's 0.1-deg scan step) and the [grid, C] spectrum
 matmul entirely.
 
-TPU/host boundary: the heavy ops — covariance accumulation (optionally
-snapshot-sharded via parallel/collectives.covariance_snapshot_sharded)
-and the [C, C] Hermitian eigendecomposition — run on device through
-``jnp.linalg.eigh``. The tail is a tiny host step on [C]-sized data
-(polynomial root finding / an [M, M] non-Hermitian eig, M = sources),
-exactly the device/host split the MUSIC peak picker already uses: TPUs
-have no non-symmetric eigensolver, and companion-matrix rooting of a
-2C-2 degree polynomial is microseconds on host.
+TPU/host boundary: the heavy op — covariance accumulation over the
+[C, K] snapshots (optionally snapshot-sharded via
+parallel/collectives.covariance_snapshot_sharded) — runs on device; the
+[C, C] eigendecomposition and the closed-form tails (polynomial root
+finding / [M, M] non-Hermitian eigs) run on HOST in float64
+(:func:`_host_eigvecs_f64`): TPUs have no non-symmetric eigensolver OR
+float64, and the tails are numerically fragile at float32 (a complex64
+subspace flips ~2/3 of 128-element coherent-pair trials) while costing
+microseconds on host at [C, C] scale.
 
 Model: ULA with ``element_spacing`` metres at ``wavelength`` metres,
 steering a(theta)_n = exp(j * n * 2*pi*d/lambda * sin(theta)) — the
@@ -29,6 +30,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from .music import covariance, noise_subspace
+
+
+def _host_eigvecs_f64(r) -> np.ndarray:
+    """Ascending eigenvectors of the [C, C] covariance, computed on HOST
+    in float64 regardless of the device dtype.
+
+    The closed-form tails (degree-2(C-1) polynomial rooting, rotation-
+    operator eigs) are numerically fragile in float32: at 128 elements
+    with a smoothed covariance, a complex64 subspace flips ~2/3 of
+    coherent-pair trials (duplicated/spurious roots), while the SAME f32
+    covariance promoted to f64 before the eigendecomposition is stable
+    (0/20 failures, results/doa_accuracy.json methodology). The [C, C]
+    eigh is microseconds on host; the heavy [C, K] covariance matmul
+    stays on device. TPUs have no f64, so this is the only reliable
+    recipe for TPU-resident snapshots."""
+    r64 = np.asarray(r).astype(np.complex128)
+    r64 = 0.5 * (r64 + r64.conj().T)      # exact Hermitian symmetrization
+    _, vecs = np.linalg.eigh(r64)
+    return vecs
 
 
 def _phase_to_deg(phase: np.ndarray, element_spacing: float,
@@ -83,8 +103,8 @@ def root_music_1d(x: jnp.ndarray, num_sources: int, element_spacing: float,
     m = int(num_sources)
     if not 0 < m < c:
         raise ValueError(f"need 0 < num_sources < channels, got {m}/{c}")
-    en = noise_subspace(r, m)                        # device: eigh
-    q = np.asarray(en @ jnp.conj(en.T))              # [C, C] host tail
+    en = _host_eigvecs_f64(r)[:, : c - m]            # f64 host subspace
+    q = en @ en.conj().T                             # [C, C] host tail
     # coeffs[k] = sum of the k-th diagonal of Q, k = -(C-1)..(C-1)
     coeffs = np.array([np.trace(q, offset=k) for k in range(c - 1, -c, -1)])
     roots = np.roots(coeffs)                         # 2C-2 roots
@@ -189,8 +209,7 @@ def esprit_2d(x: jnp.ndarray, num_sources: int, nx: int, ny: int,
     m = int(num_sources)
     if not 0 < m < min(c, (nx - 1) * ny, nx * (ny - 1)):
         raise ValueError(f"bad num_sources {m} for {nx}x{ny} URA")
-    _, vecs = jnp.linalg.eigh(r)
-    es = np.asarray(vecs[:, c - m:])                 # [C, M] signal space
+    es = _host_eigvecs_f64(r)[:, c - m:]             # [C, M] signal space
     idx = np.arange(c)
     sx = idx[idx // ny < nx - 1]                     # x-shift pairs
     sy = idx[idx % ny < ny - 1]                      # y-shift pairs
@@ -231,8 +250,7 @@ def esprit_1d(x: jnp.ndarray, num_sources: int, element_spacing: float,
     m = int(num_sources)
     if not 0 < m < c:
         raise ValueError(f"need 0 < num_sources < channels, got {m}/{c}")
-    _, vecs = jnp.linalg.eigh(r)                     # ascending
-    es = np.asarray(vecs[:, c - m:])                 # [C, M] signal space
+    es = _host_eigvecs_f64(r)[:, c - m:]             # [C, M] signal space
     psi = _rotation_operator(es[:-1], es[1:], m, tls)
     phases = np.angle(np.linalg.eigvals(psi))
     return np.sort(_phase_to_deg(phases, element_spacing, wavelength))

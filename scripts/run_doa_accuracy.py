@@ -32,9 +32,10 @@ def main() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    # float64 estimator path: the 128-element smoothed covariance's eigh
-    # needs it (complex64 flips ~30% of coherent-pair trials; the test
-    # conftest enables x64 the same way)
+    # f64 snapshots for the statistics run; the estimators are ALSO
+    # robust on complex64 input since their [C, C] subspace tail promotes
+    # to host float64 internally (superres._host_eigvecs_f64,
+    # tests/test_doa.py::test_superres_robust_at_complex64)
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 

@@ -333,6 +333,35 @@ def test_esprit_2d_rejects_bad_args():
         esprit_2d(x, 2, 8, 8)
 
 
+def test_superres_robust_at_complex64():
+    """TPU-resident snapshots are complex64 (no f64 on TPU). The
+    search-free estimators must stay reliable there: the [C, C] subspace
+    tail promotes to host float64 (superres._host_eigvecs_f64) — an f32
+    subspace flipped ~2/3 of 128-element smoothed coherent trials
+    (duplicated roots). 10/10 trials must land."""
+    from radar_tpu.doa.steering import steering_vector
+    from radar_tpu.doa.superres import esprit_1d, root_music_1d
+
+    cfg = full_config()
+    d, wl = cfg.array.element_spacing, cfg.sig.wavelength
+    truth = np.array([-8.3, 4.6])
+    a = steering_vector(truth, 128, d, wl)
+    rng = np.random.default_rng(1)
+    snap = 512
+    for t in range(10):
+        s0 = rng.normal(size=snap) + 1j * rng.normal(size=snap)
+        s = np.stack([s0, 0.7 * np.exp(1j * 1.3) * s0])  # coherent pair
+        n = (rng.normal(size=(128, snap))
+             + 1j * rng.normal(size=(128, snap))) * np.sqrt(0.5) * 0.3
+        x = jnp.asarray(a @ s / np.sqrt(2) + n, jnp.complex64)  # f32!
+        np.testing.assert_allclose(
+            root_music_1d(x, 2, d, wl, smooth=64), truth, atol=0.1,
+            err_msg=f"trial {t}")
+        np.testing.assert_allclose(
+            esprit_1d(x, 2, d, wl, smooth=64), truth, atol=0.1,
+            err_msg=f"trial {t}")
+
+
 def test_root_music_degenerate_noiseless_covariance():
     """A NOISELESS (rank-deficient) covariance pushes signal roots
     numerically onto/past the unit circle; root selection over conjugate-
