@@ -129,6 +129,20 @@ def run_streaming_mc(cfg: RadarConfig, num_scenes: int = 16,
         def trial_batch(keys, truth):
             outs = [process(k, truth) for k in keys]
             return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+    elif (cfg.lowrank_rdm and cfg.fused_synth_dbf
+          and cfg.noise_rdm_impl in ("pallas", "pallas_prng")):
+        # the fused Pallas kernel takes no vmap batch axis (its SMEM seed
+        # ref cannot batch-block); a sequential lax.map of the same
+        # program is throughput-equivalent — one full-size frame already
+        # saturates the chip (same choice as pipeline/montecarlo.py's
+        # trial fn and parallel/dp.py's local loop)
+        process_nj = make_frame_processor(cfg, precomp, dtype=dtype,
+                                          jit=False)
+
+        def _map_trials(keys, truth):
+            return jax.lax.map(lambda k: process_nj(k, truth), keys)
+
+        trial_batch = jax.jit(_map_trials)
     else:
         process = make_frame_processor(cfg, precomp, dtype=dtype)
         trial_batch = jax.jit(jax.vmap(process, in_axes=(0, None)))

@@ -23,6 +23,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--channels", type=int, default=0,
+                    help="with --pulses: the scaled production config "
+                         "(BASELINE config 3 geometry, e.g. 64 256)")
+    ap.add_argument("--pulses", type=int, default=0)
     ap.add_argument("--perf", action="store_true",
                     help="perf pipeline configuration (lowrank+bf16+rbg)")
     ap.add_argument("--scenes", type=int, default=32)
@@ -52,10 +56,14 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
 
-    from radar_tpu.config.params import full_config, small_test_config
+    from radar_tpu.config.params import (full_config, scaled_config,
+                                         small_test_config)
     from radar_tpu.pipeline.streaming import run_streaming_mc
 
-    cfg = small_test_config() if args.small else full_config()
+    if args.channels and args.pulses:
+        cfg = scaled_config(args.channels, args.pulses)
+    else:
+        cfg = small_test_config() if args.small else full_config()
     if args.perf:
         # Pallas noise-RDM kernel only on an accelerator (interpret mode on
         # CPU is for tests, not speed)
