@@ -46,6 +46,30 @@ def test_cfar1d_segment_matches_oracle():
         np.testing.assert_array_equal(np.asarray(got), want)
 
 
+def test_cfar1d_property_matches_oracle():
+    """Property test: the statically-unrolled shifted-add 1D CFAR equals
+    the per-column oracle for RANDOM (guard, ref, method, width)
+    combinations — the edge-fallback window logic is the fiddly part
+    (Function_CFAR1D_sub, debug_v2:467-511)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 4), st.integers(2, 8),
+           st.sampled_from(["GO", "SO"]), st.integers(0, 2**31 - 1))
+    def check(guard, ref, method, seed):
+        rng = np.random.default_rng(seed)
+        cols = rng.integers(2 * (guard + ref) + 2, 64)
+        x = rng.exponential(size=(4, int(cols)))
+        got, _ = _segment_cfar_1d(jnp.asarray(x), guard=guard, ref=ref,
+                                  t_cfar=4.0, method=method, axis=1)
+        want = _cfar1d_oracle(x, guard, ref, 4.0, method)
+        np.testing.assert_array_equal(np.asarray(got), want,
+                                      err_msg=f"{guard}/{ref}/{method}")
+
+    check()
+
+
 def test_cfar1d_traced_threshold_matches_static():
     """The traced threshold_factor override (operating-curve sweeps,
     scripts/run_roc_realdata.py) produces bit-identical flags to baking
