@@ -58,6 +58,34 @@ class SaveOptions:
         return getattr(self, stage, False)
 
 
+def check_run_manifest(root: str, manifest: dict) -> None:
+    """Shared resume-guard: persist ``manifest`` (sans None values) as
+    ``root/run_manifest.json`` on first use, raise ValueError if an
+    existing manifest disagrees on any non-None field. Used by both the
+    npz frame store (run_multiframe --resume) and the orbax streaming
+    store (run_streaming_mc store=...): a resumed run with a different
+    (seed, config, scene schedule) would otherwise silently splice stale
+    checkpoints into a self-consistent-looking but wrong result."""
+    path = os.path.join(root, "run_manifest.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+        bad = {k: (existing.get(k), v) for k, v in manifest.items()
+               if v is not None and existing.get(k) != v}
+        if bad:
+            raise ValueError(
+                f"checkpoint store at {root} was written by a "
+                f"different run; mismatched fields {bad}. Use a fresh "
+                "--out directory or delete the stale store.")
+    else:
+        os.makedirs(root, exist_ok=True)
+        tmp = path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({k: v for k, v in manifest.items()
+                       if v is not None}, f, indent=1)
+        os.replace(tmp, path)
+
+
 class CheckpointStore:
     """Filesystem store for per-(stage, frame) arrays."""
 
@@ -110,24 +138,7 @@ class CheckpointStore:
         run into the new log. Raises ValueError on mismatch. Fields whose
         value is None are not compared (e.g. num_frames: extending a run
         with more frames is the intended resume use)."""
-        path = os.path.join(self.root, "run_manifest.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                existing = json.load(f)
-            bad = {k: (existing.get(k), v) for k, v in manifest.items()
-                   if v is not None and existing.get(k) != v}
-            if bad:
-                raise ValueError(
-                    f"checkpoint store at {self.root} was written by a "
-                    f"different run; mismatched fields {bad}. Use a fresh "
-                    "--out directory or delete the stale store.")
-        else:
-            os.makedirs(self.root, exist_ok=True)
-            tmp = path + f".tmp.{os.getpid()}"
-            with open(tmp, "w") as f:
-                json.dump({k: v for k, v in manifest.items()
-                           if v is not None}, f, indent=1)
-            os.replace(tmp, path)
+        check_run_manifest(self.root, manifest)
 
     def frames_done(self, stage: str) -> list[int]:
         """Frame indices persisted for a stage — the resume point for a

@@ -149,7 +149,25 @@ def run_streaming_mc(cfg: RadarConfig, num_scenes: int = 16,
 
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
-    done = set(store.frames_done()) if store is not None else set()
+    done = set()
+    if store is not None:
+        # refuse resuming a store written by a DIFFERENT run: restored
+        # scenes would be matched against THIS run's (different) truths —
+        # silently wrong statistics. Mesh shape is deliberately absent
+        # (elastic dp=4 -> dp=2 resume is the feature); num_scenes too
+        # (extending a run is allowed).
+        import hashlib
+
+        from ..io.checkpoint import check_run_manifest
+
+        check_run_manifest(store.root, {
+            "seed": int(seed),
+            "config_sha": hashlib.sha256(repr(cfg).encode()).hexdigest()[:16],
+            "targets_per_scene": int(targets_per_scene),
+            "trials_per_scene": int(trials_per_scene),
+            "snr_range": [float(snr_range[0]), float(snr_range[1])],
+        })
+        done = set(store.frames_done())
     like_cache = None
 
     def sharded_like(keys, truth):

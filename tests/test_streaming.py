@@ -124,6 +124,15 @@ def test_streaming_orbax_elastic_resume(tmp_path):
     res = run_streaming_mc(cfg, num_scenes=4, mesh=make_mesh(dp=2),
                            dp_trials=True, store=store2, **kw)
     assert store2.frames_done() == [1, 2, 3, 4]
+
+    # a mismatched-seed resume against the same store must be REFUSED
+    # (scenes would replay against different truths)
+    with pytest.raises(ValueError, match="different run"):
+        run_streaming_mc(cfg, num_scenes=4, mesh=make_mesh(dp=2),
+                         dp_trials=True, store=OrbaxFrameStore(
+                             str(tmp_path / "ck")),
+                         **{**kw, "seed": 6})
+
     assert res.total_targets == full.total_targets
     assert res.total_detected == full.total_detected
     np.testing.assert_array_equal(res.range_rmse_m, full.range_rmse_m)
