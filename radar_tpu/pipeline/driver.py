@@ -176,15 +176,25 @@ def make_device_multiframe(cfg: RadarConfig, precomp=None,
     t_frame = cfg.sig.frame_time
     deg_per_frame = cfg.scan.deg_per_frame(cfg.sig)
 
-    def run(key, initial: TargetBatch, num_frames: int):
+    def run(key, initial: TargetBatch, num_frames: int, frame_offset=0,
+            carry_in=None):
+        """Scan frames [frame_offset+1, frame_offset+num_frames]. The
+        kinematic carry (azimuth, r_ground) may come from a previous
+        chunk (``carry_in``) so a CHUNKED run reproduces the unchunked
+        state-update sequence bit-for-bit (restart-on-failure for the
+        device-scan runner, SURVEY section 5.3); the per-frame PRNG keys
+        fold the ABSOLUTE frame index, so chunking never changes draws.
+        Returns (stacked results, azimuths, carry_out)."""
         r0 = jnp.asarray(initial.range_m, jnp.float32)
         el0 = jnp.deg2rad(jnp.asarray(initial.elevation_deg, jnp.float32))
         v0 = jnp.asarray(initial.velocity_ms, jnp.float32)
         snr = jnp.asarray(initial.snr_db, jnp.float32)
         const_h = r0 * jnp.sin(el0)
         const_vg = v0 / jnp.cos(el0)
-        state0 = (jnp.asarray(cfg.scan.start_azimuth_deg, jnp.float32),
-                  r0 * jnp.cos(el0))
+        if carry_in is None:
+            carry_in = (jnp.asarray(cfg.scan.start_azimuth_deg,
+                                    jnp.float32),
+                        r0 * jnp.cos(el0))
 
         def step(state, frame_idx):
             azimuth, r_ground = state
@@ -197,9 +207,11 @@ def make_device_multiframe(cfg: RadarConfig, precomp=None,
             res = process(jax.random.fold_in(key, frame_idx), tb)
             return (azimuth, r_ground), (res, azimuth)
 
-        _, (results, azimuths) = jax.lax.scan(
-            step, state0, jnp.arange(1, num_frames + 1))
-        return results, azimuths
+        carry_out, (results, azimuths) = jax.lax.scan(
+            step, carry_in,
+            jnp.arange(1, num_frames + 1) + jnp.asarray(frame_offset,
+                                                        jnp.int32))
+        return results, azimuths, carry_out
 
     return jax.jit(run, static_argnums=2)
 
@@ -228,13 +240,80 @@ def device_results_to_log(results, azimuths) -> DetectionLog:
 
 def run_multiframe_device(cfg: RadarConfig, initial_targets: TargetBatch,
                           num_frames: int, seed: int = 0, precomp=None,
-                          dtype=None):
-    """Device-scan counterpart of ``run_multiframe``; same outputs."""
+                          dtype=None, store=None,
+                          chunk_frames: int | None = None):
+    """Device-scan counterpart of ``run_multiframe``; same outputs.
+
+    ``store`` (an ``io.orbax_store.OrbaxFrameStore``) + ``chunk_frames``:
+    restart-on-failure for the DEVICE-SCAN runner — the scan executes in
+    chunks, each chunk's stacked results AND the kinematic carry persist
+    (keyed by the chunk's end frame); a rerun replays completed chunks
+    from disk and resumes the scan from the last carry, bit-identical to
+    an uninterrupted run (the carry threads the exact state-update
+    sequence and the PRNG keys fold absolute frame indices;
+    tests/test_pipeline.py::test_device_scan_chunked_resume)."""
     import jax.numpy as jnp  # noqa: F401
 
     runner = make_device_multiframe(cfg, precomp, dtype)
-    results, azimuths = jax.block_until_ready(
-        runner(jax.random.PRNGKey(seed), initial_targets, num_frames))
+    key = jax.random.PRNGKey(seed)
+    if store is None:
+        results, azimuths, _ = jax.block_until_ready(
+            runner(key, initial_targets, num_frames))
+    else:
+        if not chunk_frames or chunk_frames <= 0:
+            raise ValueError("store= needs chunk_frames > 0")
+        if num_frames % chunk_frames:
+            raise ValueError(f"num_frames {num_frames} not divisible by "
+                             f"chunk_frames {chunk_frames}")
+        import hashlib
+
+        from ..io.checkpoint import check_run_manifest
+
+        h = hashlib.sha256()
+        for f in (initial_targets.range_m, initial_targets.velocity_ms,
+                  initial_targets.elevation_deg, initial_targets.snr_db):
+            h.update(np.ascontiguousarray(
+                np.asarray(f, np.float64)).tobytes())
+        check_run_manifest(store.root, {
+            "seed": int(seed), "chunk_frames": int(chunk_frames),
+            "config_sha": hashlib.sha256(
+                repr(cfg).encode()).hexdigest()[:16],
+            "targets_sha": h.hexdigest()[:16],
+        })
+        done = set(store.frames_done())
+        # orbax restores plain containers, not NamedTuples: persist the
+        # FrameResult tree as flat leaves and rebuild with the treedef
+        abs_res, _, _ = jax.eval_shape(
+            runner, key, jax.tree.map(jnp.asarray, initial_targets),
+            chunk_frames, 0, None)
+        treedef = jax.tree.structure(abs_res)
+        nleaves = treedef.num_leaves
+        chunks = []
+        carry = None
+        for lo in range(0, num_frames, chunk_frames):
+            end = lo + chunk_frames
+            if end in done:
+                saved = store.restore(end)
+                carry = (jnp.asarray(saved["carry_az"]),
+                         jnp.asarray(saved["carry_rg"]))
+                res_np = jax.tree.unflatten(
+                    treedef, [saved[f"l{i}"] for i in range(nleaves)])
+                chunks.append((res_np, saved["azimuths"]))
+                continue
+            res, az, carry = jax.block_until_ready(
+                runner(key, initial_targets, chunk_frames, lo, carry))
+            res_np = jax.tree.map(np.asarray, res)
+            store.save(end, {
+                **{f"l{i}": x for i, x in
+                   enumerate(jax.tree.leaves(res_np))},
+                "azimuths": np.asarray(az),
+                "carry_az": np.asarray(carry[0]),
+                "carry_rg": np.asarray(carry[1]),
+            })
+            chunks.append((res_np, np.asarray(az)))
+        results = jax.tree.map(lambda *xs: np.concatenate(xs),
+                               *[c[0] for c in chunks])
+        azimuths = np.concatenate([c[1] for c in chunks])
     log = device_results_to_log(results, azimuths)
     if cfg.inter_frame.enable:
         tracks = associate_tracks(log, cfg)

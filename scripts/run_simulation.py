@@ -12,6 +12,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -76,8 +77,34 @@ def main() -> None:
     if args.device_scan:
         from radar_tpu.pipeline.driver import run_multiframe_device
 
+        dstore, chunk = None, None
+        if args.resume:
+            # chunked device scan with orbax chunk checkpoints: a rerun
+            # replays completed chunks and resumes the scan from the
+            # persisted kinematic carry (bit-identical to uninterrupted)
+            from radar_tpu.io.orbax_store import OrbaxFrameStore
+
+            dstore = OrbaxFrameStore(os.path.join(args.out,
+                                                  "device_chunks"))
+            manifest = os.path.join(dstore.root, "run_manifest.json")
+            if os.path.exists(manifest):
+                # the chunk size is part of the run identity — reuse it
+                with open(manifest) as f:
+                    chunk = json.load(f)["chunk_frames"]
+                if args.frames % chunk:
+                    raise SystemExit(
+                        f"--frames {args.frames} not divisible by the "
+                        f"store's chunk_frames {chunk}")
+            else:
+                chunk = max(1, min(10, args.frames))
+                while args.frames % chunk:
+                    chunk -= 1
+            if dstore.frames_done():
+                print(f"resuming: chunks ending at {dstore.frames_done()} "
+                      f"replay from {dstore.root}")
         log, tracks = run_multiframe_device(cfg, scene, args.frames, seed=0,
-                                            precomp=pre)
+                                            precomp=pre, store=dstore,
+                                            chunk_frames=chunk)
     else:
         store = None
         if args.resume:

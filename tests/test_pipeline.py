@@ -224,6 +224,52 @@ def test_multiframe_resume_after_crash(tmp_path):
                        store=store)
 
 
+def test_device_scan_chunked_resume(tmp_path):
+    """Restart-on-failure for the DEVICE-SCAN runner: the chunked scan
+    (kinematic carry threaded across chunks, absolute-frame PRNG keys)
+    is bit-identical to the unchunked lax.scan run, a 'crashed' run's
+    completed chunks replay from the orbax store, and the resumed run
+    reproduces the uninterrupted log exactly."""
+    from radar_tpu.io.orbax_store import OrbaxFrameStore
+    from radar_tpu.pipeline.driver import run_multiframe_device
+
+    cfg = small_test_config(channels=8, pulses=32)
+    tb = TargetBatch.make([3000.0], [15.0], [10.0], [18.0])
+
+    log_full, tracks_full = run_multiframe_device(cfg, tb, num_frames=6,
+                                                  seed=4)
+
+    # "crashed" chunked run: completes 2 of 3 chunks
+    store = OrbaxFrameStore(str(tmp_path / "ck"))
+    run_multiframe_device(cfg, tb, num_frames=4, seed=4, store=store,
+                          chunk_frames=2)
+    assert store.frames_done() == [2, 4]
+
+    # resumed over the full horizon: chunks 1-2 replay, chunk 3 computes
+    log_res, tracks_res = run_multiframe_device(
+        cfg, tb, num_frames=6, seed=4,
+        store=OrbaxFrameStore(str(tmp_path / "ck")), chunk_frames=2)
+    assert store.frames_done() == [2, 4, 6]
+    np.testing.assert_array_equal(log_res.frame, log_full.frame)
+    for field in ("range_m", "velocity_ms", "elevation_deg", "power",
+                  "azimuth_deg"):
+        np.testing.assert_array_equal(getattr(log_res, field),
+                                      getattr(log_full, field),
+                                      err_msg=field)
+    assert len(tracks_res) == len(tracks_full)
+
+    # mismatched seed refused (shared run-manifest guard)
+    with pytest.raises(ValueError, match="different run"):
+        run_multiframe_device(cfg, tb, num_frames=6, seed=5,
+                              store=OrbaxFrameStore(str(tmp_path / "ck")),
+                              chunk_frames=2)
+    # indivisible chunking refused
+    with pytest.raises(ValueError, match="not divisible"):
+        run_multiframe_device(cfg, tb, num_frames=5, seed=4,
+                              store=OrbaxFrameStore(str(tmp_path / "ck2")),
+                              chunk_frames=2)
+
+
 def test_checkpoint_save_is_atomic(tmp_path, monkeypatch):
     """A crash mid-write must never leave a truncated frame_*.npz that
     frames_done would count as complete (the exact failure restart-on-
