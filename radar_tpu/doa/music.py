@@ -205,8 +205,14 @@ def music_2d(x: jnp.ndarray, num_sources: int, nx: int, ny: int,
         len(az_deg), len(el_deg))
 
     if peak_impl == "device":
-        idx, _ = regional_max_peaks_2d(spec, num_sources)
-        ii, jj = np.unravel_index(np.asarray(idx), spec.shape)
+        idx, vals = regional_max_peaks_2d(spec, num_sources)
+        # fewer regional maxima than num_sources: the masked top_k fills
+        # the tail with -inf entries pointing at arbitrary cells — drop
+        # them (the host/reference imregionalmax picker also returns
+        # fewer peaks there) instead of reporting fabricated corners
+        keep = np.isfinite(np.asarray(vals))
+        idx = np.asarray(idx)[keep]
+        ii, jj = np.unravel_index(idx, spec.shape)
         az0, el0 = np.asarray(az_deg), np.asarray(el_deg)
         peaks = np.stack([az0[ii], el0[jj]], axis=1)
         if refine:

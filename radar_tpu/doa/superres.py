@@ -127,8 +127,13 @@ def root_music_1d(x: jnp.ndarray, num_sources: int, element_spacing: float,
         used_phases.append(ph)
         if len(sig) == m:
             break
-    assert len(sig) == m, (
-        f"root-MUSIC found only {len(sig)} distinct roots for {m} sources")
+    if len(sig) != m:
+        # loud failure (the old inside-only filter silently returned a
+        # short array); ValueError matches the module's validation errors
+        # and survives python -O, unlike an assert
+        raise ValueError(
+            f"root-MUSIC found only {len(sig)} distinct roots for {m} "
+            "sources (degenerate covariance?)")
     return np.sort(_phase_to_deg(np.angle(np.array(sig)), element_spacing,
                                  wavelength))
 

@@ -265,20 +265,11 @@ def run_multiframe_device(cfg: RadarConfig, initial_targets: TargetBatch,
         if num_frames % chunk_frames:
             raise ValueError(f"num_frames {num_frames} not divisible by "
                              f"chunk_frames {chunk_frames}")
-        import hashlib
-
         from ..io.checkpoint import check_run_manifest
 
-        h = hashlib.sha256()
-        for f in (initial_targets.range_m, initial_targets.velocity_ms,
-                  initial_targets.elevation_deg, initial_targets.snr_db):
-            h.update(np.ascontiguousarray(
-                np.asarray(f, np.float64)).tobytes())
         check_run_manifest(store.root, {
-            "seed": int(seed), "chunk_frames": int(chunk_frames),
-            "config_sha": hashlib.sha256(
-                repr(cfg).encode()).hexdigest()[:16],
-            "targets_sha": h.hexdigest()[:16],
+            **_run_fingerprint(cfg, initial_targets, seed),
+            "chunk_frames": int(chunk_frames),
         })
         done = set(store.frames_done())
         # orbax restores plain containers, not NamedTuples: persist the

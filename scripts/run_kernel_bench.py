@@ -71,9 +71,15 @@ def main() -> None:
     if os.path.exists("results/kernel_bench.json"):
         with open("results/kernel_bench.json") as f:
             results = json.load(f)
-    results.update({
-        "device": jax.devices()[0].device_kind,
-        "method": "on-device fori_loop, RNG input/iter, full consume"})
+    device = jax.devices()[0].device_kind
+    if only is not None and results.get("device") not in (None, device):
+        # a partial re-run on a DIFFERENT backend must not relabel the
+        # kept entries; measured entries get their own device tag below
+        print(f"note: kept entries remain attributed to "
+              f"{results['device']}; new entries tagged {device}")
+    else:
+        results["device"] = device
+    results["method"] = "on-device fori_loop, RNG input/iter, full consume"
     cfg = full_config()
     pre = precompute(cfg)
     mplan = make_matmul_plan(pre)
@@ -101,6 +107,8 @@ def main() -> None:
                                   lambda y: jnp.real(y).ravel()[0])
         dt = ondevice_loop_time(fn, gen, r_sum) - base
         results[name] = {"ms": round(dt * 1e3, 3), **extra(dt)}
+        if results.get("device") != device:
+            results[name]["device"] = device   # partial cross-backend run
         print(name, results[name], flush=True)
 
     record("dbf_16ch_13beam", lambda x: dbf(x, w, "v8"), cxgen((p, s, c)),

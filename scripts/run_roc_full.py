@@ -187,8 +187,11 @@ def main():
             return count_exceedances_2d(maps, cfg.cfar, ts)
 
         c, n = jax.lax.map(frame, keys)
-        # int32 is ample per batch (< 2^31 hits); the host accumulates i64
-        return jnp.sum(c, axis=0), jnp.sum(n)
+        # hit counts are small (int32 ample); the VALID-CELL count is
+        # ~13M int32 PER FRAME and identical every frame — summing it
+        # across a large batch would wrap int32, so return one frame's
+        # value and let the host multiply in int64
+        return jnp.sum(c, axis=0), n[0]
 
     t0 = time.time()
     counts = np.zeros(len(T_SWEEP), np.int64)
@@ -201,7 +204,7 @@ def main():
         c, n = jax.tree.map(np.asarray, jax.block_until_ready(
             pfa_batch(keys, jnp.asarray(ts_np))))
         counts += c
-        cells += int(n)
+        cells += int(n) * nb      # n = one frame's valid cells (constant)
         done += nb
         print(f"  {done}/{args.noise_frames} frames, "
               f"{cells / 1e6:.0f}M cells ({time.time() - t0:.0f}s)",

@@ -155,21 +155,22 @@ def main():
         print(f"  T={t:5.1f}: Pd={p:.3f}", flush=True)
 
     # ---- Pfa arm: operational flag counts on noise-only frames --------
+    # count_exceedances_realdata IS segmented_cfar_1d's semantics swept
+    # over a threshold vector (one noise estimate per segment, broadcast
+    # compare) with an exact STATIC tested-cell count — no per-T rerun
+    from radar_tpu.ops.cfar_analysis import count_exceedances_realdata
+
     @jax.jit
     def pfa_batch(keys, ts):
         def frame(k):
-            maps = front(noise_cube(k))
-
-            def tail(t):
-                flags, thr = segmented_cfar_1d(maps, cfg.cfar1d, splits,
-                                               dvb, threshold_factor=t)
-                return (jnp.sum(flags).astype(jnp.int32),
-                        jnp.sum(thr > 0).astype(jnp.int32))
-
-            return jax.lax.map(tail, ts)
+            return count_exceedances_realdata(front(noise_cube(k)),
+                                              cfg.cfar1d, splits, dvb, ts)
 
         c, n = jax.lax.map(frame, keys)
-        return jnp.sum(c, axis=0), jnp.sum(n[:, 0])
+        # the per-frame tested-cell count is identical every frame —
+        # return ONE frame's value (a large-batch int32 sum could wrap);
+        # the host multiplies in int64
+        return jnp.sum(c, axis=0), n[0]
 
     print(f"== Pfa arm: {args.noise_frames} noise frames ==", flush=True)
     t0 = time.time()
@@ -183,7 +184,7 @@ def main():
         c, n = jax.tree.map(np.asarray, jax.block_until_ready(
             pfa_batch(keys, jnp.asarray(ts_np))))
         counts += c
-        cells += int(n)
+        cells += int(n) * nb      # n = one frame's tested cells (static)
         done += nb
         print(f"  {done}/{args.noise_frames} frames, {cells / 1e6:.0f}M "
               f"cells ({time.time() - t0:.0f}s)", flush=True)

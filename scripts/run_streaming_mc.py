@@ -47,11 +47,21 @@ def main() -> None:
     if args.cpu:
         if args.dp:
             # virtual CPU devices for the dp mesh (must precede jax init)
+            import re
+
             flags = os.environ.get("XLA_FLAGS", "")
-            if "xla_force_host_platform_device_count" not in flags:
+            m = re.search(r"xla_force_host_platform_device_count=(\d+)",
+                          flags)
+            if m is None:
                 os.environ["XLA_FLAGS"] = (
                     flags + " --xla_force_host_platform_device_count="
                     f"{args.dp}").strip()
+            elif int(m.group(1)) < args.dp:
+                raise SystemExit(
+                    f"XLA_FLAGS already pins "
+                    f"{m.group(1)} virtual devices but --dp {args.dp} "
+                    f"needs at least {args.dp}; unset XLA_FLAGS or raise "
+                    "the count")
         import jax
 
         jax.config.update("jax_platforms", "cpu")

@@ -93,6 +93,20 @@ def test_music_2d_ura():
     np.testing.assert_allclose(got, want, atol=1.5)
 
 
+def test_regional_max_picker_marks_missing_peaks():
+    """When the spectrum has FEWER regional maxima than requested, the
+    device picker's masked top_k tail is -inf pointing at arbitrary
+    cells; the -inf values are the contract music_2d uses to DROP those
+    entries instead of reporting fabricated corners."""
+    from radar_tpu.doa.music import regional_max_peaks_2d
+
+    spec = jnp.asarray(np.arange(12.0).reshape(3, 4) + 1.0)  # monotone
+    idx, vals = regional_max_peaks_2d(spec, 3)
+    finite = np.isfinite(np.asarray(vals))
+    assert finite.tolist() == [True, False, False]
+    assert int(np.asarray(idx)[0]) == 11      # the single true maximum
+
+
 def test_music_2d_device_peaks_match_host():
     """The device-side regional-max picker (stencil + top_k) returns the
     same peaks as the host numpy picker on the reference 8x8 problem."""

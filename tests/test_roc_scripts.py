@@ -46,7 +46,10 @@ def test_roc_full_smoke(tmp_path):
 def test_roc_realdata_smoke(tmp_path):
     rep = _run("run_roc_realdata.py",
                ["--trials", "4", "--batch", "4", "--noise-frames", "2",
-                "--noise-batch", "2", "--amp", "0.05"],
+                "--noise-batch", "2", "--amp", "0.05",
+                # --png must be overridden: the script's default points at
+                # the COMMITTED measured artifact results/roc_realdata.png
+                "--png", str(tmp_path / "roc_rd.png")],
                tmp_path / "roc_rd.json")
     assert len(rep["pd"]) == len(rep["pfa"]) == 9
     # amp 0.05 is ~9 dB above the transition: every threshold detects
