@@ -89,10 +89,20 @@ def main() -> None:
         float(f(n, jax.random.PRNGKey(seed)))
         return time.perf_counter() - t0
 
+    # drift-robust slope: the tunnel's per-session throughput drifts
+    # +-10-15% on a timescale of minutes (ROADMAP.md session-drift note),
+    # which a single min-of-2 pair walks right through (BENCH_r04
+    # regression). Interleave ADJACENT small/large pairs — slow drift
+    # moves both ends of one pair together, so each pair's slope is a
+    # valid instantaneous reading — and take the best pair (fastest the
+    # device demonstrably ran). Spread across pairs goes to stderr.
     n_small, n_large = 5, 55
-    t_small = min(timed(n_small, 1), timed(n_small, 2))
-    t_large = min(timed(n_large, 3), timed(n_large, 4))
-    dt = (t_large - t_small) / (n_large - n_small)
+    slopes = []
+    for i in range(4):
+        t_s = timed(n_small, 10 * i + 1)
+        t_l = timed(n_large, 10 * i + 2)
+        slopes.append((t_l - t_s) / (n_large - n_small))
+    dt = min(slopes)
     frames_per_s = 1.0 / dt
 
     # baseline: vectorized numpy reference chain on host CPU. The
@@ -102,13 +112,25 @@ def main() -> None:
     # ambient load (23.9-133 s observed across rounds/sessions), which
     # made vs_baseline the noisiest number in the artifact. Delete the
     # pin file (or run scripts/pin_baseline.py) to re-measure.
+    import platform
+
     pin_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "radar_tpu", "bench", "baseline_pin.json")
+    pin = None
     if os.path.exists(pin_path):
         with open(pin_path) as fh:
             pin = json.load(fh)
+        # the pin was measured on ONE specific host; on any other machine
+        # its denominator is meaningless — fall back to live measurement
+        # there (advisor round-4 finding)
+        pin_node = pin.get("node", pin.get("host", ""))
+        if platform.node() not in (pin_node, pin_node.split(" ")[0]):
+            print(f"# baseline pin is for host {pin_node!r}, this is "
+                  f"{platform.node()!r}; measuring live", file=sys.stderr)
+            pin = None
+    if pin is not None:
         baseline_dt = pin["frame_ms"] / 1e3
-        baseline_src = f"pinned {pin['date']}"
+        baseline_src = f"pinned {pin['date']} host={pin.get('node', '?')}"
     else:
         runs = []
         for _ in range(3):
@@ -125,9 +147,12 @@ def main() -> None:
         "value": round(frames_per_s, 3),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_s / baseline_fps, 2),
+        "baseline": baseline_src,
+        "slope_spread_ms": [round(1e3 * s, 3) for s in sorted(slopes)],
     }))
     print(f"# device={jax.devices()[0].device_kind} "
           f"jax_frame={1e3 * dt:.2f}ms "
+          f"slopes_ms={[round(1e3 * s, 2) for s in slopes]} "
           f"numpy_frame={1e3 * baseline_dt:.1f}ms "
           f"({baseline_src}, 1-thread BLAS, seed 0)", file=sys.stderr)
 

@@ -181,6 +181,48 @@ def _rotation_operator(e1: np.ndarray, e2: np.ndarray, m: int,
     return psi
 
 
+def _joint_eigvecs(psi_x: np.ndarray, psi_y: np.ndarray,
+                   tol: float = 1e-3) -> np.ndarray:
+    """Eigenvector matrix T that SIMULTANEOUSLY diagonalizes Psi_x and
+    Psi_y, found by diagonalizing a complex combination a*Psi_x + b*Psi_y
+    and verifying the off-diagonal residual of both rotated operators.
+
+    The eigenvalues of a*Psi_x + b*Psi_y are a*e^{jku_m} + b*e^{jkv_m};
+    for REAL a=b=1 they coincide whenever two sources have swapped or
+    mirrored (u, v) projections (e^{jku1}+e^{jkv1} = e^{jku2}+e^{jkv2}
+    with {u1,v1} = {u2,v2} as sets), and eig() of the defective-looking
+    sum then returns vectors that diagonalize NEITHER operator — both
+    (az, el) estimates come out ~10 deg wrong with no error raised. A
+    complex-rotated combination breaks that symmetry; distinct fallback
+    rotations cover the (measure-zero) collisions of any single choice.
+    Raises ValueError if every combination stays degenerate."""
+    combos = [(1.0, 1j), (1.0, np.exp(0.4j)), (np.exp(0.9j), 1.0),
+              (1.0, 1.0)]
+    best_t, best_res = None, np.inf
+    for a, b in combos:
+        _, t = np.linalg.eig(a * psi_x + b * psi_y)
+        try:
+            tinv = np.linalg.inv(t)
+        except np.linalg.LinAlgError:
+            continue
+        res = 0.0
+        for psi in (psi_x, psi_y):
+            d = tinv @ psi @ t
+            off = d - np.diag(np.diag(d))
+            res = max(res, np.linalg.norm(off) / max(np.linalg.norm(d),
+                                                     1e-30))
+        if res < best_res:
+            best_t, best_res = t, res
+        if res < tol:
+            return t
+    if best_t is None or best_res > 0.2:
+        raise ValueError(
+            f"esprit_2d: no combination jointly diagonalizes Psi_x/Psi_y "
+            f"(best off-diagonal residual {best_res:.3g}) — degenerate "
+            "source geometry or wrong num_sources")
+    return best_t
+
+
 def esprit_2d(x: jnp.ndarray, num_sources: int, nx: int, ny: int,
               spacing_wavelengths: float = 0.5, tls: bool = True,
               smooth: tuple | None = None) -> np.ndarray:
@@ -193,12 +235,15 @@ def esprit_2d(x: jnp.ndarray, num_sources: int, nx: int, ny: int,
     Two maximal-overlap invariances (x-shift: element i vs i+ny; y-shift:
     i vs i+1 in the x-major layout of :func:`..music.steering_ura`) give
     rotation operators Psi_x, Psi_y sharing eigenvectors. Pairing is
-    automatic: T diagonalizes Psi_x + Psi_y (generically distinct
-    eigenvalues even when two sources share one axis projection), then
-    u_m, v_m read off diag(T^-1 Psi_{x,y} T) — no az/el association
-    search. Heavy ops (covariance + eigh) on device; the [M, M] tail on
-    host (no TPU non-symmetric eig). Returns [M, 2] (az_deg, el_deg)
-    sorted by azimuth.
+    automatic: T diagonalizes a COMPLEX combination a*Psi_x + b*Psi_y
+    (the real sum e^{jku}+e^{jkv} is degenerate whenever two sources have
+    swapped/mirrored (u, v) projections — e.g. az 31/59 deg at el 54.3 —
+    so a lone Psi_x+Psi_y silently mispairs there); the off-diagonal
+    residual of BOTH T^-1 Psi_{x,y} T is checked and further fixed
+    combinations are tried on degeneracy, then u_m, v_m read off the
+    diagonals — no az/el association search. Heavy ops (covariance +
+    eigh) on device; the [M, M] tail on host (no TPU non-symmetric eig).
+    Returns [M, 2] (az_deg, el_deg) sorted by azimuth.
 
     ``smooth=(lx, ly)``: 2D forward-backward spatial smoothing
     (:func:`spatial_smooth_2d`) for COHERENT sources — the invariances
@@ -220,7 +265,7 @@ def esprit_2d(x: jnp.ndarray, num_sources: int, nx: int, ny: int,
     sy = idx[idx % ny < ny - 1]                      # y-shift pairs
     psi_x = _rotation_operator(es[sx], es[sx + ny], m, tls)
     psi_y = _rotation_operator(es[sy], es[sy + 1], m, tls)
-    _, t = np.linalg.eig(psi_x + psi_y)              # shared eigenvectors
+    t = _joint_eigvecs(psi_x, psi_y)                 # shared eigenvectors
     tinv = np.linalg.inv(t)
     k = 2.0 * np.pi * spacing_wavelengths
     u = np.angle(np.diag(tinv @ psi_x @ t)) / k

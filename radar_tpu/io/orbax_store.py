@@ -59,7 +59,21 @@ class OrbaxFrameStore:
         path = self._path(frame_idx)
         with self._ocp.PyTreeCheckpointer() as ckptr:
             if like is None:
-                return ckptr.restore(path)
+                # EXPLICIT host-local numpy restore. The bare
+                # ckptr.restore(path) default takes orbax's
+                # sharding-from-file path, which warns (correctly) that it
+                # is unsafe when the restoring topology differs from the
+                # saving one — exactly the elastic dp=N -> dp=M resume
+                # this store exists for. Callers that want device arrays
+                # pass ``like=`` with the CURRENT mesh's shardings; the
+                # default never guesses a topology.
+                meta_tree = ckptr.metadata(path).item_metadata.tree
+                restore_args = jax.tree.map(
+                    lambda _: self._ocp.RestoreArgs(restore_type=np.ndarray),
+                    meta_tree)
+                return ckptr.restore(
+                    path, args=self._ocp.args.PyTreeRestore(
+                        restore_args=restore_args))
             abstract = jax.tree.map(
                 lambda x: x if isinstance(x, jax.ShapeDtypeStruct)
                 else jax.ShapeDtypeStruct(

@@ -268,7 +268,7 @@ def run_multiframe_device(cfg: RadarConfig, initial_targets: TargetBatch,
         from ..io.checkpoint import check_run_manifest
 
         check_run_manifest(store.root, {
-            **_run_fingerprint(cfg, initial_targets, seed),
+            **_run_fingerprint(cfg, initial_targets, seed, dtype),
             "chunk_frames": int(chunk_frames),
         })
         done = set(store.frames_done())
@@ -314,12 +314,17 @@ def run_multiframe_device(cfg: RadarConfig, initial_targets: TargetBatch,
 
 
 def _run_fingerprint(cfg: RadarConfig, targets: TargetBatch,
-                     seed: int) -> dict:
-    """Stable fingerprint of (config, initial scene, seed) for the resume
-    manifest. RadarConfig is a frozen-dataclass tree, so its repr is a
-    deterministic function of every field; the target batch hashes by
-    array bytes."""
+                     seed: int, dtype=None) -> dict:
+    """Stable fingerprint of (config, initial scene, seed, dtype) for the
+    resume manifest. RadarConfig is a frozen-dataclass tree, so its repr
+    is a deterministic function of every field; the target batch hashes
+    by array bytes. ``dtype`` is the processor dtype the run computes in
+    — resuming a complex64 store under complex128 (or vice versa) would
+    silently splice mixed-precision frames into one log (advisor round-4
+    finding), so it is part of the guarded identity."""
     import hashlib
+
+    import jax.numpy as jnp
 
     h = hashlib.sha256()
     for f in (targets.range_m, targets.velocity_ms, targets.elevation_deg,
@@ -329,6 +334,7 @@ def _run_fingerprint(cfg: RadarConfig, targets: TargetBatch,
         "seed": int(seed),
         "config_sha": hashlib.sha256(repr(cfg).encode()).hexdigest()[:16],
         "targets_sha": h.hexdigest()[:16],
+        "dtype": str(jnp.dtype(dtype or jnp.complex64)),
         "num_frames": None,  # extending a run is allowed; not compared
     }
 
@@ -359,7 +365,8 @@ def run_multiframe(cfg: RadarConfig, initial_targets: TargetBatch,
     log = DetectionLog.empty()
     key = jax.random.PRNGKey(seed)
     if store is not None:
-        store.check_manifest(_run_fingerprint(cfg, initial_targets, seed))
+        store.check_manifest(_run_fingerprint(cfg, initial_targets, seed,
+                                              dtype))
     done = set(store.frames_done("measurements")) if store else set()
     for frame_idx in range(1, num_frames + 1):
         targets = scen.step(cfg)

@@ -166,6 +166,13 @@ def run_streaming_mc(cfg: RadarConfig, num_scenes: int = 16,
             "targets_per_scene": int(targets_per_scene),
             "trials_per_scene": int(trials_per_scene),
             "snr_range": [float(snr_range[0]), float(snr_range[1])],
+            # knobs that alter per-trial NUMERICS: a resume under a
+            # different dtype (or a different trial-batch route — dp-
+            # sharded vs lax.map'd vs vmapped) would silently splice
+            # mixed-precision / differently-reduced results into one
+            # statistic (advisor round-4 finding)
+            "dtype": str(jnp.dtype(dtype)),
+            "dp_trials": bool(mesh is not None and dp_trials),
         })
         done = set(store.frames_done())
     like_cache = None

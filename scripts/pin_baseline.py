@@ -60,6 +60,7 @@ def main() -> None:
                   "full 16ch x 332p frame), seed 0, 1-thread BLAS, min of "
                   "runs on an otherwise idle host",
         "host": platform.node(),
+        "node": platform.node(),   # exact match key for bench.py's guard
         "cpu_count": os.cpu_count(),
         "numpy": np.__version__,
         "date": time.strftime("%Y-%m-%d"),

@@ -63,13 +63,20 @@ def worker_main(args) -> int:
 
     from radar_tpu.parallel import multihost
 
-    # env-driven resolution path (JAX_COORDINATOR_ADDRESS etc.)
-    assert multihost.initialize() is True, "expected multi-process init"
+    # env-driven resolution path (JAX_COORDINATOR_ADDRESS etc.).
+    # Plain statements, not asserts: the init is a required SIDE EFFECT
+    # and the checks guard correctness — under `python -O` an assert
+    # would skip both silently (advisor round-4 finding)
+    if multihost.initialize() is not True:
+        raise SystemExit("expected multi-process init")
     pid = jax.process_index()
     nproc = jax.process_count()
     k = jax.local_device_count()
-    assert nproc == args.nproc, (nproc, args.nproc)
-    assert len(jax.devices()) == nproc * k
+    if nproc != args.nproc:
+        raise SystemExit(f"process_count {nproc} != --nproc {args.nproc}")
+    if len(jax.devices()) != nproc * k:
+        raise SystemExit(f"global devices {len(jax.devices())} != "
+                         f"{nproc}x{k}")
 
     import numpy as np
     import jax.numpy as jnp
@@ -251,7 +258,8 @@ def worker_bench(args) -> int:
 
     from radar_tpu.parallel import multihost
 
-    assert multihost.initialize() is True
+    if multihost.initialize() is not True:   # side effect; -O-safe check
+        raise SystemExit("expected multi-process init")
     pid = jax.process_index()
     nproc = jax.process_count()
 
@@ -338,7 +346,8 @@ def worker_streaming(args) -> int:
     from radar_tpu.parallel import multihost
 
     if args.nproc > 1:
-        assert multihost.initialize() is True
+        if multihost.initialize() is not True:  # side effect; -O-safe
+            raise SystemExit("expected multi-process init")
         pid, nproc = jax.process_index(), jax.process_count()
     else:
         pid, nproc = 0, 1
@@ -364,7 +373,9 @@ def worker_streaming(args) -> int:
     snr_range = (-5.0, 20.0)
     s_count, k_targets, t_trials = args.scenes, args.targets_per_scene, \
         args.trials_per_scene
-    assert s_count % nproc == 0, "scenes must divide evenly over processes"
+    if s_count % nproc:
+        raise SystemExit(
+            f"--scenes {s_count} must divide evenly over {nproc} processes")
     rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)
     # every process replays the FULL truth stream (tiny host draws) so

@@ -306,6 +306,33 @@ def test_esprit_2d_ura_paired_offgrid():
                                    err_msg=f"tls={tls}")
 
 
+def test_esprit_2d_swapped_projection_degeneracy():
+    """Two sources with SWAPPED (u, v) projections — az 31/59 deg at one
+    elevation, so u1=v2 and v1=u2 — make the eigenvalues of the real sum
+    Psi_x + Psi_y coincide (e^{jku}+e^{jkv} is symmetric in u<->v); a
+    pairing that diagonalizes only that sum silently mispairs both
+    sources by ~10 deg. The complex-combination diagonalizer with a
+    residual check must recover both exactly (advisor round-4 finding)."""
+    from radar_tpu.doa.superres import esprit_2d
+
+    nx, ny = 16, 8
+    truth = np.array([[31.0, 54.3], [59.0, 54.3]])
+    a = steering_ura(truth[:, 0], truth[:, 1], nx, ny, 0.5)
+    g_el = len(truth[:, 1])
+    a_src = np.stack([a[:, i * g_el + i] for i in range(len(truth))],
+                     axis=1)
+    rng = np.random.default_rng(5)
+    k, m = 512, len(truth)
+    s = (rng.normal(size=(m, k)) + 1j * rng.normal(size=(m, k))) / np.sqrt(2)
+    n = (rng.normal(size=(nx * ny, k))
+         + 1j * rng.normal(size=(nx * ny, k))) * np.sqrt(0.5) * 0.1
+    x = jnp.asarray(a_src @ s + n, jnp.complex128)
+    for tls in (True, False):
+        got = esprit_2d(x, m, nx, ny, 0.5, tls=tls)
+        np.testing.assert_allclose(got, truth, atol=0.1,
+                                   err_msg=f"tls={tls}")
+
+
 def test_esprit_2d_coherent_sources_with_2d_smoothing():
     """Two COHERENT sources (multipath: the second is a scaled copy of
     the first waveform) rank-collapse the raw URA covariance; 2D
