@@ -155,9 +155,11 @@ def tracks_without_association(log: DetectionLog) -> list[Track]:
 
 
 def make_device_multiframe(cfg: RadarConfig, precomp=None,
-                           dtype=None):
+                           dtype=None, kinematics: str = "altitude"):
     """On-device multi-frame runner: kinematic state evolution (the v9.2
-    track model, v8_3:203-228) AND the per-frame processing chain run inside
+    track model, v8_3:203-228 — or the v8_2 simple model ``R -= V*T``
+    with constant El/V, v8_2:200-205, under ``kinematics="simple"``) AND
+    the per-frame processing chain run inside
     ONE jitted ``lax.scan`` over frames — no host round trip per frame.
 
     On a tunneled accelerator the host-side frame loop costs a dispatch +
@@ -171,6 +173,8 @@ def make_device_multiframe(cfg: RadarConfig, precomp=None,
 
     from .frame import make_frame_processor
 
+    if kinematics not in ("altitude", "simple"):
+        raise ValueError(f"unknown kinematics model {kinematics!r}")
     process = make_frame_processor(cfg, precomp, dtype=dtype or jnp.complex64,
                                    jit=False)
     t_frame = cfg.sig.frame_time
@@ -184,9 +188,12 @@ def make_device_multiframe(cfg: RadarConfig, precomp=None,
         state-update sequence bit-for-bit (restart-on-failure for the
         device-scan runner, SURVEY section 5.3); the per-frame PRNG keys
         fold the ABSOLUTE frame index, so chunking never changes draws.
-        Returns (stacked results, azimuths, carry_out)."""
+        Returns (stacked results, azimuths, carry_out). Under
+        kinematics="simple" the second carry element is the slant range
+        itself (El/V constant, v8_2:200-205)."""
         r0 = jnp.asarray(initial.range_m, jnp.float32)
-        el0 = jnp.deg2rad(jnp.asarray(initial.elevation_deg, jnp.float32))
+        el0_deg = jnp.asarray(initial.elevation_deg, jnp.float32)
+        el0 = jnp.deg2rad(el0_deg)
         v0 = jnp.asarray(initial.velocity_ms, jnp.float32)
         snr = jnp.asarray(initial.snr_db, jnp.float32)
         const_h = r0 * jnp.sin(el0)
@@ -194,18 +201,23 @@ def make_device_multiframe(cfg: RadarConfig, precomp=None,
         if carry_in is None:
             carry_in = (jnp.asarray(cfg.scan.start_azimuth_deg,
                                     jnp.float32),
-                        r0 * jnp.cos(el0))
+                        r0 if kinematics == "simple"
+                        else r0 * jnp.cos(el0))
 
         def step(state, frame_idx):
-            azimuth, r_ground = state
+            azimuth, r_state = state
             azimuth = jnp.mod(azimuth + deg_per_frame, 360.0)
-            r_ground = r_ground - const_vg * t_frame
-            r = jnp.sqrt(r_ground**2 + const_h**2)
-            el = jnp.rad2deg(jnp.arcsin(const_h / r))
-            v_rad = const_vg * jnp.cos(jnp.deg2rad(el))
-            tb = TargetBatch(r, v_rad, el, snr)
+            if kinematics == "simple":
+                r_state = r_state - v0 * t_frame
+                tb = TargetBatch(r_state, v0, el0_deg, snr)
+            else:
+                r_state = r_state - const_vg * t_frame
+                r = jnp.sqrt(r_state**2 + const_h**2)
+                el = jnp.rad2deg(jnp.arcsin(const_h / r))
+                v_rad = const_vg * jnp.cos(jnp.deg2rad(el))
+                tb = TargetBatch(r, v_rad, el, snr)
             res = process(jax.random.fold_in(key, frame_idx), tb)
-            return (azimuth, r_ground), (res, azimuth)
+            return (azimuth, r_state), (res, azimuth)
 
         carry_out, (results, azimuths) = jax.lax.scan(
             step, carry_in,
@@ -241,7 +253,8 @@ def device_results_to_log(results, azimuths) -> DetectionLog:
 def run_multiframe_device(cfg: RadarConfig, initial_targets: TargetBatch,
                           num_frames: int, seed: int = 0, precomp=None,
                           dtype=None, store=None,
-                          chunk_frames: int | None = None):
+                          chunk_frames: int | None = None,
+                          kinematics: str = "altitude"):
     """Device-scan counterpart of ``run_multiframe``; same outputs.
 
     ``store`` (an ``io.orbax_store.OrbaxFrameStore``) + ``chunk_frames``:
@@ -254,7 +267,7 @@ def run_multiframe_device(cfg: RadarConfig, initial_targets: TargetBatch,
     tests/test_pipeline.py::test_device_scan_chunked_resume)."""
     import jax.numpy as jnp  # noqa: F401
 
-    runner = make_device_multiframe(cfg, precomp, dtype)
+    runner = make_device_multiframe(cfg, precomp, dtype, kinematics)
     key = jax.random.PRNGKey(seed)
     if store is None:
         results, azimuths, _ = jax.block_until_ready(
@@ -270,6 +283,7 @@ def run_multiframe_device(cfg: RadarConfig, initial_targets: TargetBatch,
         check_run_manifest(store.root, {
             **_run_fingerprint(cfg, initial_targets, seed, dtype),
             "chunk_frames": int(chunk_frames),
+            "kinematics": kinematics,   # model changes the truth stream
         })
         done = set(store.frames_done())
         # orbax restores plain containers, not NamedTuples: persist the
@@ -342,7 +356,7 @@ def _run_fingerprint(cfg: RadarConfig, targets: TargetBatch,
 def run_multiframe(cfg: RadarConfig, initial_targets: TargetBatch,
                    num_frames: int, seed: int = 0, processor=None,
                    precomp=None, dtype=None, progress: bool = False,
-                   store=None):
+                   store=None, kinematics: str = "altitude"):
     """Run the full multi-frame simulation; returns (log, tracks, scenario).
 
     ``processor`` may be a pre-built jitted frame processor (reused across
@@ -361,12 +375,14 @@ def run_multiframe(cfg: RadarConfig, initial_targets: TargetBatch,
     if processor is None:
         processor = make_frame_processor(cfg, precomp,
                                          dtype=dtype or jnp.complex64)
-    scen = Scenario.from_initial(initial_targets, cfg)
+    scen = Scenario.from_initial(initial_targets, cfg, kinematics)
     log = DetectionLog.empty()
     key = jax.random.PRNGKey(seed)
     if store is not None:
-        store.check_manifest(_run_fingerprint(cfg, initial_targets, seed,
-                                              dtype))
+        store.check_manifest({
+            **_run_fingerprint(cfg, initial_targets, seed, dtype),
+            "kinematics": kinematics,   # model changes the truth stream
+        })
     done = set(store.frames_done("measurements")) if store else set()
     for frame_idx in range(1, num_frames + 1):
         targets = scen.step(cfg)
