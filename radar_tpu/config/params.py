@@ -217,6 +217,14 @@ class RadarConfig:
     # Monopulse ratio on |RDM| (v8, fun_process_single_frame.m:282-285) or on
     # the complex RDM values (v7_6, main_plot_snr_vs_angle_error.m:455-458)
     monopulse_complex: bool = False
+    # Evaluate the monopulse ratio at the spline-REFINED (v, r) subcell
+    # position instead of the integer indices — the fix for the
+    # documented reference flaw ("known flaw", fun_process_single_frame.m
+    # :280-281), built per SURVEY.md section 7.1 ("optionally at refined
+    # indices"). Default False: the flaw is the shipped reference
+    # behavior; the A/B accuracy delta is measured in
+    # results/monopulse_refined_ab.json.
+    monopulse_refined: bool = False
     # Sliding-CPI window slices per frame for the two-frame real-data MTD
     # (main_test_with_simulated_data.m:80 config.mtd.win_size; see
     # pipeline/stages.stage2_mtd_windowed)

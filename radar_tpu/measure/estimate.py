@@ -98,12 +98,43 @@ def _stencil_gather_rdm(rdm: jnp.ndarray, v_idx, r_idx, pair_idx,
 
 
 def _spline_peak_offset(stencil: jnp.ndarray, q: jnp.ndarray,
-                        times: int, extra: int) -> jnp.ndarray:
+                        times: int, extra: int):
     """Peak offset (in cells, in [-extra, +extra]) of the spline-upsampled
-    stencil. q is the [(2*extra)*times+1, 2*extra+1] upsample matrix."""
+    stencil, plus the integer index of that peak on the upsampled grid
+    (consumed by the refined-index monopulse). q is the
+    [(2*extra)*times+1, 2*extra+1] upsample matrix."""
     up = stencil @ q.T  # [cap, Q]
     i = jnp.argmax(up, axis=1)
-    return i.astype(stencil.dtype) / times - extra
+    return i.astype(stencil.dtype) / times - extra, i
+
+
+def _stencil_gather_2d(rdm: jnp.ndarray, beam, v_idx, r_idx, extra: int,
+                       layout: str) -> jnp.ndarray:
+    """[cap, 2e+1 (v), 2e+1 (r)] stencil of one beam's complex RDM around
+    each detection (edge-clipped like the 1D gathers)."""
+    offs = jnp.arange(-extra, extra + 1)
+    if layout == "bvg":
+        vc = jnp.clip(v_idx[:, None] + offs[None, :], 0, rdm.shape[1] - 1)
+        rc = jnp.clip(r_idx[:, None] + offs[None, :], 0, rdm.shape[2] - 1)
+        return rdm[beam[:, None, None], vc[:, :, None], rc[:, None, :]]
+    vc = jnp.clip(v_idx[:, None] + offs[None, :], 0, rdm.shape[0] - 1)
+    rc = jnp.clip(r_idx[:, None] + offs[None, :], 0, rdm.shape[1] - 1)
+    return rdm[vc[:, :, None], rc[:, None, :], beam[:, None, None]]
+
+
+def _value_at_refined(st2: jnp.ndarray, q_r: jnp.ndarray, q_v: jnp.ndarray,
+                      i_r: jnp.ndarray, i_v: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate the separable-spline surface of a [cap, 5v, 5r] stencil at
+    the refined upsampled-grid indices (i_v, i_r) found on the SUM map —
+    the same not-a-knot cubic the range/velocity refinement uses, applied
+    to each beam (spline interpolation is linear in the data, so the 2D
+    evaluation is two small matmuls + gathers)."""
+    cap = st2.shape[0]
+    rows = jnp.einsum("cvr,qr->cvq", st2, q_r)        # upsample along r
+    at_r = rows[jnp.arange(cap)[:, None],
+                jnp.arange(st2.shape[1])[None, :], i_r[:, None]]  # [cap, 5v]
+    cols = at_r @ q_v.T                               # upsample along v
+    return cols[jnp.arange(cap), i_v]
 
 
 def estimate_parameters(dets: Detections, pair_maps: jnp.ndarray,
@@ -111,7 +142,8 @@ def estimate_parameters(dets: Detections, pair_maps: jnp.ndarray,
                         extra_dots: int, r_times: int, v_times: int,
                         monopulse_complex: bool = False,
                         layout: str = "vgb",
-                        maps_layout: str | None = None) -> ParamDetections:
+                        maps_layout: str | None = None,
+                        monopulse_refined: bool = False) -> ParamDetections:
     """dets: CFAR output; pair_maps: [V,G,pairs] real sum maps; rdm:
     [V,G,beams] complex; precomp_dev: DevicePrecomputed arrays.
 
@@ -146,27 +178,46 @@ def estimate_parameters(dets: Detections, pair_maps: jnp.ndarray,
         return _stencil_gather(pair_maps, dets.v_idx, dets.r_idx,
                                dets.pair_idx, extra_dots, axis, maps_layout)
 
+    q_r = jnp.asarray(precomp_dev.q_range, real_dtype)
+    q_v = jnp.asarray(precomp_dev.q_vel, real_dtype)
     st_r = gather("r").astype(real_dtype)
-    off_r = _spline_peak_offset(
-        st_r, jnp.asarray(precomp_dev.q_range, real_dtype), r_times,
-        extra_dots)
+    off_r, i_r = _spline_peak_offset(st_r, q_r, r_times, extra_dots)
     est_range = rx[dets.r_idx] + off_r * precomp_dev.delta_r
 
     st_v = gather("v").astype(real_dtype)
-    off_v = _spline_peak_offset(
-        st_v, jnp.asarray(precomp_dev.q_vel, real_dtype), v_times,
-        extra_dots)
+    off_v, i_v = _spline_peak_offset(st_v, q_v, v_times, extra_dots)
     est_vel = vx[dets.v_idx] + off_v * precomp_dev.delta_v
 
-    # monopulse at integer indices (reference flaw preserved)
-    if layout == "bvg":
-        s_a = rdm[dets.pair_idx, dets.v_idx, dets.r_idx]
-        s_b = rdm[dets.pair_idx + 1, dets.v_idx, dets.r_idx]
+    if monopulse_refined:
+        # monopulse at the spline-REFINED subcell position: each member
+        # beam's surface interpolated (separably, same not-a-knot cubic)
+        # at the sum-map peak found above — the flaw-fixed variant
+        # (cfg.monopulse_refined; SURVEY 7.1 "optionally at refined
+        # indices"; A/B delta in results/monopulse_refined_ab.json)
+        rl = "bvg" if layout == "bvg" else "vgb"
+        st_a = _stencil_gather_2d(rdm, dets.pair_idx, dets.v_idx,
+                                  dets.r_idx, extra_dots, rl)
+        st_b = _stencil_gather_2d(rdm, dets.pair_idx + 1, dets.v_idx,
+                                  dets.r_idx, extra_dots, rl)
+        if not monopulse_complex:
+            st_a, st_b = jnp.abs(st_a), jnp.abs(st_b)
+        st_a = st_a.astype(real_dtype if not monopulse_complex
+                           else st_a.dtype)
+        st_b = st_b.astype(st_a.dtype)
+        s_a = _value_at_refined(st_a, q_r.astype(st_a.dtype),
+                                q_v.astype(st_a.dtype), i_r, i_v)
+        s_b = _value_at_refined(st_b, q_r.astype(st_b.dtype),
+                                q_v.astype(st_b.dtype), i_r, i_v)
     else:
-        s_a = rdm[dets.v_idx, dets.r_idx, dets.pair_idx]
-        s_b = rdm[dets.v_idx, dets.r_idx, dets.pair_idx + 1]
-    if not monopulse_complex:
-        s_a, s_b = jnp.abs(s_a), jnp.abs(s_b)
+        # monopulse at integer indices (reference flaw preserved)
+        if layout == "bvg":
+            s_a = rdm[dets.pair_idx, dets.v_idx, dets.r_idx]
+            s_b = rdm[dets.pair_idx + 1, dets.v_idx, dets.r_idx]
+        else:
+            s_a = rdm[dets.v_idx, dets.r_idx, dets.pair_idx]
+            s_b = rdm[dets.v_idx, dets.r_idx, dets.pair_idx + 1]
+        if not monopulse_complex:
+            s_a, s_b = jnp.abs(s_a), jnp.abs(s_b)
     eps = jnp.finfo(real_dtype).eps
     ratio = (s_a - s_b) / (s_a + s_b + eps)
     k = k_lut[dets.pair_idx]

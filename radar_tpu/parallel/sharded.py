@@ -127,7 +127,8 @@ def make_sharded_frame_processor(cfg: RadarConfig, mesh: Mesh,
                                   impl=cfg.extract_impl)
         params = estimate_parameters(
             dets, maps, rdm, mc, ip.extra_dots, ip.r_interp_times,
-            ip.v_interp_times, monopulse_complex=cfg.monopulse_complex)
+            ip.v_interp_times, monopulse_complex=cfg.monopulse_complex,
+                monopulse_refined=cfg.monopulse_refined)
         s1 = cluster_stage1(params, cfg.cluster)
         final = cluster_stage2(s1, cfg.cluster)
         return FrameResult(targets=final, num_raw_detections=dets.count,

@@ -197,7 +197,8 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
             params = estimate_parameters(
                 dets, maps_qvg, rdm_bm, mc, ip.extra_dots,
                 ip.r_interp_times, ip.v_interp_times,
-                monopulse_complex=cfg.monopulse_complex, layout="bvg",
+                monopulse_complex=cfg.monopulse_complex,
+                monopulse_refined=cfg.monopulse_refined, layout="bvg",
                 maps_layout="qvg")
             s1 = cluster_stage1(params, cfg.cluster)
             final = cluster_stage2(s1, cfg.cluster)
@@ -234,7 +235,8 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
                 params = estimate_parameters(
                     dets, maps_t, rdm_bm, mc, ip.extra_dots,
                     ip.r_interp_times, ip.v_interp_times,
-                    monopulse_complex=cfg.monopulse_complex, layout="bvg")
+                    monopulse_complex=cfg.monopulse_complex,
+                monopulse_refined=cfg.monopulse_refined, layout="bvg")
                 s1 = cluster_stage1(params, cfg.cluster)
                 final = cluster_stage2(s1, cfg.cluster)
                 return FrameResult(targets=final,
@@ -301,6 +303,7 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
                 dets, maps_q, rdm, mc, ip.extra_dots,
                 ip.r_interp_times, ip.v_interp_times,
                 monopulse_complex=cfg.monopulse_complex,
+                monopulse_refined=cfg.monopulse_refined,
                 maps_layout="qvg")
             s1 = cluster_stage1(params, cfg.cluster)
             final = cluster_stage2(s1, cfg.cluster)
@@ -329,7 +332,8 @@ def make_frame_processor(cfg: RadarConfig, precomp: Precomputed | None = None,
         params = estimate_parameters(
             dets, None if tfr else maps, rdm, mc, ip.extra_dots,
             ip.r_interp_times, ip.v_interp_times,
-            monopulse_complex=cfg.monopulse_complex)
+            monopulse_complex=cfg.monopulse_complex,
+                monopulse_refined=cfg.monopulse_refined)
         s1 = cluster_stage1(params, cfg.cluster)
         final = cluster_stage2(s1, cfg.cluster)
         result = FrameResult(targets=final, num_raw_detections=dets.count,

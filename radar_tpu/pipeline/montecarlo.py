@@ -132,7 +132,8 @@ def make_trial_fn(cfg: RadarConfig, precomp: Precomputed,
         params = estimate_parameters(
             dets, None if tfr else maps, rdm, mc, ip.extra_dots,
             ip.r_interp_times, ip.v_interp_times,
-            monopulse_complex=cfg.monopulse_complex)
+            monopulse_complex=cfg.monopulse_complex,
+                monopulse_refined=cfg.monopulse_refined)
         s1 = cluster_stage1(params, cfg.cluster)
         final = cluster_stage2(s1, cfg.cluster)
         result = FrameResult(targets=final, num_raw_detections=dets.count,

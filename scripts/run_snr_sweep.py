@@ -135,19 +135,65 @@ def main() -> None:
 
         import jax
 
+        # the reference bound |k|*sqrt(2)/sqrt(SNR_raw) (main_plot_snr_vs_
+        # angle_error.m:303-309) is vacuous at the scaled geometries'
+        # raw-SNR operating points (hundreds of degrees at -50 dB); for
+        # those, ALSO quote the bound at the post-integration SNR the
+        # monopulse ratio actually sees: raw SNR x DBF array gain x PC
+        # pulse-compression gain x MTD coherent-integration gain, each
+        # with its window's taper efficiency (sum w)^2 / (N sum w^2).
+        bound_fields = {"theory_bound_deg": [float(x)
+                                             for x in res.theory_bound]}
+        if args.channels is not None:
+            from radar_tpu.waveform.precompute import precompute
+
+            pre = precompute(cfg)
+
+            def eff(w):
+                w = np.abs(np.asarray(w)).astype(float)
+                return float(w.sum() ** 2 / (len(w) * (w * w).sum()))
+
+            g_dbf = cfg.sig.channel_num * float(np.mean(
+                [eff(row) for row in pre.dbf_w]))
+            g_pc = len(pre.mf_long_win) * eff(pre.mf_long_win)
+            g_mtd = cfg.sig.prt_num * eff(pre.mtd_win)
+            gain = g_dbf * g_pc * g_mtd
+            snr_lin = 10.0 ** (np.asarray(res.snr_db, float) / 10.0)
+            kabs = float(res.theory_bound[0] * np.sqrt(snr_lin[0])
+                         / np.sqrt(2.0))
+            bound_fields = {
+                "theory_bound_raw_snr_deg":
+                    [float(x) for x in res.theory_bound],
+                "theory_bound_post_gain_deg":
+                    [float(kabs * np.sqrt(2.0) / np.sqrt(s * gain))
+                     for s in snr_lin],
+                "integration_gain_db": round(10 * np.log10(gain), 2),
+                "bound_note": (
+                    "raw-SNR bound is the reference's form and is "
+                    "vacuous at these raw operating points; the post-"
+                    "gain bound evaluates it at raw SNR + "
+                    f"{10 * np.log10(gain):.1f} dB (DBF x long-pulse PC "
+                    "x MTD, taper efficiencies included)"),
+            }
         with open(args.json, "w") as fh:
             json.dump({
                 "config": (f"scaled {args.channels}ch x {args.pulses}p"
                            if args.channels is not None
                            else "small" if args.small else "full"),
-                "pipeline": {"fused": args.fused, "lowrank": args.lowrank,
-                             "bf16": args.bf16, "rbg": args.rbg},
+                "pipeline": {"fused": bool(cfg.fused_synth_dbf),
+                             "lowrank": bool(cfg.lowrank_rdm),
+                             "bf16": cfg.matmul_precision == "bf16",
+                             "rbg": cfg.noise_prng == "rbg",
+                             "noise_rdm_impl": cfg.noise_rdm_impl,
+                             "fused_pallas_kernel":
+                                 str(cfg.noise_rdm_impl).startswith(
+                                     "pallas")},
                 "snr_db": [float(x) for x in res.snr_db],
                 "angle_error_std_deg": [float(x)
                                         for x in res.angle_error_std],
                 "detection_probability": [float(x) for x in
                                           res.detection_probability],
-                "theory_bound_deg": [float(x) for x in res.theory_bound],
+                **bound_fields,
                 "trials": args.trials,
                 "truth": {"range_m": args.truth_range,
                           "elevation_deg": (args.truth_el

@@ -60,6 +60,71 @@ def test_monopulse_complex_variant_e2e():
     assert abs(a2[int(np.argmax(p2))] - 10.0) < 3.0
 
 
+def test_monopulse_refined_variant_e2e():
+    """The refined-index monopulse (cfg.monopulse_refined: ratio at the
+    spline-refined subcell peak, the fix for the reference's documented
+    integer-index flaw, fun_process_single_frame.m:280-281) produces the
+    same detections with an angle estimate that stays near truth; with
+    truth ON the cell centers both variants agree closely."""
+    cfg = small_test_config(channels=8, pulses=32)
+    pre = precompute(cfg)
+    r1, v1, a1, p1 = _run(cfg, pre, snr=25.0)
+    r2, v2, a2, p2 = _run(cfg.replace(monopulse_refined=True), pre,
+                          snr=25.0)
+    assert len(r1) == len(r2) >= 1
+    # range/velocity refinement identical (the refined flag touches only
+    # the monopulse ratio)
+    np.testing.assert_allclose(r2, r1, rtol=1e-6)
+    np.testing.assert_allclose(v2, v1, rtol=1e-5, atol=1e-5)
+    i1, i2 = int(np.argmax(p1)), int(np.argmax(p2))
+    assert abs(a1[i1] - 10.0) < 3.0
+    assert abs(a2[i2] - 10.0) < 3.0
+    # both evaluate the same surface; at high SNR the refined ratio sits
+    # within the inter-variant spread of a fraction of the pair width
+    assert abs(a2[i2] - a1[i1]) < 1.5
+
+
+def test_monopulse_refined_integer_peak_matches_flawed():
+    """When the spline peak lands EXACTLY on the integer cell (symmetric
+    stencil), the refined evaluation reads the same RDM cell as the
+    integer-index flaw — the variants must agree to float tolerance."""
+    from radar_tpu.measure.estimate import estimate_parameters
+    from radar_tpu.ops.cfar import Detections
+    from radar_tpu.pipeline.frame import measure_consts
+
+    cfg = small_test_config(channels=8, pulses=32)
+    pre = precompute(cfg)
+    mc = measure_consts(cfg, pre, np.float32)
+    nv, ng, nb = cfg.sig.prt_num, pre.n_total_gate, cfg.sig.beam_num
+    rng = np.random.default_rng(0)
+    # a symmetric bump centered on (v0, r0) in every beam -> spline peak
+    # exactly at the integer cell
+    v0, r0 = nv // 2, ng // 2
+    rdm = np.full((nv, ng, nb), 0.01, np.complex64)
+    for db in (-2, -1, 0, 1, 2):
+        for dg in (-2, -1, 0, 1, 2):
+            rdm[v0 + db, r0 + dg, :] = 5.0 * np.exp(
+                -(db**2 + dg**2)) + 0.0j
+    rdm = jnp.asarray(rdm + 0.001 * rng.standard_normal(rdm.shape))
+    maps = jnp.abs(rdm[:, :, :-1]) + jnp.abs(rdm[:, :, 1:])
+    cap = 4
+    dets = Detections(
+        v_idx=jnp.asarray([v0, 0, 0, 0]),
+        r_idx=jnp.asarray([r0, 0, 0, 0]),
+        pair_idx=jnp.asarray([3, 0, 0, 0]),
+        amp=jnp.ones(cap, jnp.float32),
+        valid=jnp.asarray([True, False, False, False]),
+        count=jnp.asarray(1, jnp.int32))
+    ip = cfg.interp
+    kw = dict(extra_dots=ip.extra_dots, r_times=ip.r_interp_times,
+              v_times=ip.v_interp_times)
+    p_int = estimate_parameters(dets, maps, rdm, mc, **kw)
+    p_ref = estimate_parameters(dets, maps, rdm, mc,
+                                monopulse_refined=True, **kw)
+    np.testing.assert_allclose(np.asarray(p_ref.angle_deg)[0],
+                               np.asarray(p_int.angle_deg)[0], atol=5e-3)
+
+
 def test_dbf_v7_7_variant_runs():
     """v7_7 convention (fliplr, no conj) with a synthetic bank: the flipped
     non-conjugated weights steer differently — the pipeline must still run
