@@ -31,6 +31,11 @@ def main() -> None:
     ap.add_argument("--small", action="store_true",
                     help="8-channel/32-pulse smoke config")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="repeat the run across N seeds (seed, seed+1, "
+                         "...) and aggregate per-target outcomes — the "
+                         "robustness arm; figures/headline fields come "
+                         "from the first seed")
     ap.add_argument("--exact", action="store_true",
                     help="exact-reference-stream path instead of the perf "
                          "config (same detections statistically; ~2x "
@@ -60,15 +65,22 @@ def main() -> None:
     scene = five_target_scene()
 
     t0 = time.time()
-    log, tracks = run_multiframe_device(cfg, scene, args.frames,
-                                        seed=args.seed, precomp=pre,
-                                        kinematics="simple")
+    runs = []
+    for s in range(args.seed, args.seed + args.seeds):
+        log, tracks = run_multiframe_device(cfg, scene, args.frames,
+                                            seed=s, precomp=pre,
+                                            kinematics="simple")
+        sc = score_tracks(log, tracks, scene, args.frames, cfg,
+                          kinematics="simple")
+        runs.append((s, log, tracks, sc))
+        if args.seeds > 1:
+            print(f"seed {s}: {len(log)} det -> {len(tracks)} tracks, "
+                  f"Pd={sc.track_pd:.2f} false={sc.false_tracks} "
+                  f"frag={sc.fragmentation:.2f}", flush=True)
     wall = time.time() - t0
-    print(f"{args.frames} frames in {wall:.1f}s: {len(log)} detections -> "
-          f"{len(tracks)} tracks")
-
-    score = score_tracks(log, tracks, scene, args.frames, cfg,
-                         kinematics="simple")
+    _, log, tracks, score = runs[0]
+    print(f"{args.seeds} x {args.frames} frames in {wall:.1f}s; seed "
+          f"{args.seed}: {len(log)} detections -> {len(tracks)} tracks")
     per_target = []
     for k in range(scene.num_targets):
         per_target.append({
@@ -117,6 +129,25 @@ def main() -> None:
         "match_gates": {"range_m": 60.0, "velocity_ms": 3.0,
                         "elevation_deg": 5.0, "purity_floor": 0.5},
     }
+    if args.seeds > 1:
+        import numpy as np
+
+        scs = [r[3] for r in runs]
+        artifact["robustness"] = {
+            "seeds": args.seeds,
+            "track_pd_mean": round(float(np.mean(
+                [s.track_pd for s in scs])), 4),
+            "per_target_detected_rate": [
+                round(float(np.mean([s.truth_detected[k] for s in scs])), 3)
+                for k in range(scene.num_targets)],
+            "per_target_coverage_mean": [
+                round(float(np.mean([s.truth_coverage[k] for s in scs])), 3)
+                for k in range(scene.num_targets)],
+            "false_tracks_total": int(sum(s.false_tracks for s in scs)),
+            "fragmentation_mean": round(float(np.mean(
+                [s.fragmentation for s in scs])), 3),
+        }
+        print("robustness:", json.dumps(artifact["robustness"]))
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1)
     print("wrote", out)

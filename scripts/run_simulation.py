@@ -47,7 +47,19 @@ def main() -> None:
                          "post-MTD beam-noise mixing, bf16 MXU matmuls, rbg "
                          "PRNG; statistically validated, results/) — ~1.8x "
                          "the exact-reference-stream path on TPU")
+    ap.add_argument("--five-target", action="store_true",
+                    help="run the v8_2 five-target scene (SNR -20..+15 dB, "
+                         "main_simulate_echoes_with_array_v8_2.m:28-51) "
+                         "instead of the v8_3 two-target scene; implies "
+                         "--kinematics simple unless overridden")
+    ap.add_argument("--kinematics", choices=("altitude", "simple"),
+                    default=None,
+                    help="track model: 'altitude' = v8_3 constant-altitude "
+                         "(default), 'simple' = v8_2 R-=V*T with constant "
+                         "El/V (v8_2.m:200-205)")
     args = ap.parse_args()
+    if args.kinematics is None:
+        args.kinematics = "simple" if args.five_target else "altitude"
 
     if args.cpu:
         import jax
@@ -58,7 +70,8 @@ def main() -> None:
     from radar_tpu.io.checkpoint import (CheckpointStore, SaveOptions,
                                          save_detection_log_json)
     from radar_tpu.pipeline.driver import run_multiframe
-    from radar_tpu.sim.scenario import default_two_target_scene
+    from radar_tpu.sim.scenario import (default_two_target_scene,
+                                        five_target_scene)
     from radar_tpu.viz.plots import (plot_cluster_comparison, plot_ppi,
                                      plot_rhi, plot_track_history)
     from radar_tpu.waveform.precompute import precompute
@@ -71,7 +84,8 @@ def main() -> None:
 
         cfg = perf_config(cfg, pallas=not args.cpu)
     pre = precompute(cfg)
-    scene = default_two_target_scene()
+    scene = (five_target_scene() if args.five_target
+             else default_two_target_scene())
 
     t0 = time.time()
     if args.device_scan:
@@ -104,7 +118,8 @@ def main() -> None:
                       f"replay from {dstore.root}")
         log, tracks = run_multiframe_device(cfg, scene, args.frames, seed=0,
                                             precomp=pre, store=dstore,
-                                            chunk_frames=chunk)
+                                            chunk_frames=chunk,
+                                            kinematics=args.kinematics)
     else:
         store = None
         if args.resume:
@@ -116,7 +131,8 @@ def main() -> None:
                       f"from {store.root}")
         log, tracks, scen = run_multiframe(cfg, scene, args.frames, seed=0,
                                            precomp=pre, progress=True,
-                                           store=store)
+                                           store=store,
+                                           kinematics=args.kinematics)
     print(f"\nprocessed {args.frames} frames in {time.time() - t0:.2f}s: "
           f"{len(log)} detections -> {len(tracks)} tracks")
     for t in sorted(tracks, key=lambda t: -t.num_points)[:10]:

@@ -49,10 +49,16 @@ def make_scene(rng, cfg, scene_type: str, num_frames: int):
     snr = base.snr_db.copy()
     t_frame = cfg.sig.frame_time
     if scene_type == "close":
-        # pair 0/1: just above the stage-1 cluster gates (30 m, 0.4 m/s)
+        # pair 0/1: just above the stage-1 cluster gates (30 m, 0.4 m/s).
+        # Step the shifted velocity DOWN when +dv would leave the valid
+        # Doppler region (random_scene's v_hi bound) — an aliased
+        # injected target would score as a spurious miss.
         r[1] = r[0] + rng.uniform(45.0, 70.0)
-        v[1] = np.clip(v[0] + rng.uniform(1.0, 2.0),
-                       v.min(initial=-1e9), None)
+        dv = rng.uniform(1.0, 2.0)
+        border_v = cfg.cfar.ref_cells_v + cfg.cfar.guard_cells_v
+        v_hi = ((cfg.sig.prt_num - border_v - 2) / cfg.sig.prt_num
+                - 0.5) * cfg.sig.v_max
+        v[1] = v[0] + dv if v[0] + dv <= v_hi else v[0] - dv
         el[1] = el[0] + rng.uniform(-1.0, 1.0)
     elif scene_type == "crossing":
         # pair 0/1: range tracks cross at ~0.6 * num_frames

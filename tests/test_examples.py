@@ -54,6 +54,7 @@ def test_examples_cover_all_files():
         "03_music_doa.py",
         "04_realdata_stages.py",
         "05_elastic_checkpointing.py",
+        "06_five_target_tracking.py",
     ]
 
 
