@@ -74,6 +74,13 @@ class TrackScore:
     false_tracks: int                # tracks with no majority truth
     track_purity: np.ndarray         # [T] majority fraction per track
     switched_tracks: int             # tracks mixing 2 truths substantially
+    # subset of false_tracks whose members DO match a truth in (R, V)
+    # but fail the elevation gate: beam-sidelobe GHOSTS of a real target
+    # that slipped the reference's stage-2 (R,V)-only anti-ghost merge
+    # (its dV<=0.4 m/s gate, fun_process_single_frame.m:361) because the
+    # ghost's velocity estimate differs by more than the gate. Distinct
+    # from clutter-born false tracks (members match nothing).
+    ghost_tracks: int = 0
 
     @property
     def track_pd(self) -> float:
@@ -113,10 +120,21 @@ def score_tracks(log, tracks, truth: TargetBatch, num_frames: int,
         best = np.argmin(dist, axis=0)
         assign = np.where(np.isfinite(dist[best, np.arange(n)]), best, -1)
 
+    # R/V-only assignment (elevation ignored) for ghost classification
+    assign_rv = np.full(n, -1, int)
+    if n:
+        ok_rv = (d_r <= gate_r) & (d_v <= gate_v)
+        dist_rv = np.where(ok_rv, (d_r / gate_r)**2 + (d_v / gate_v)**2,
+                           np.inf)
+        best_rv = np.argmin(dist_rv, axis=0)
+        assign_rv = np.where(
+            np.isfinite(dist_rv[best_rv, np.arange(n)]), best_rv, -1)
+
     truth_detected = np.zeros(k, bool)
     truth_n_tracks = np.zeros(k, int)
     covered: list[set] = [set() for _ in range(k)]
     false_tracks = 0
+    ghost_tracks = 0
     switched = 0
     purity = np.zeros(len(tracks))
     for ti, tr in enumerate(tracks):
@@ -127,6 +145,10 @@ def score_tracks(log, tracks, truth: TargetBatch, num_frames: int,
         if total == 0 or counts.max(initial=0) < purity_floor * total:
             false_tracks += 1
             purity[ti] = counts.max(initial=0) / max(total, 1)
+            rv = assign_rv[members]
+            rv_counts = np.bincount(rv[rv >= 0], minlength=k)
+            if total and rv_counts.max(initial=0) >= purity_floor * total:
+                ghost_tracks += 1
             continue
         major = int(np.argmax(counts))
         purity[ti] = counts[major] / total
@@ -142,4 +164,4 @@ def score_tracks(log, tracks, truth: TargetBatch, num_frames: int,
                       truth_coverage=coverage,
                       truth_n_tracks=truth_n_tracks,
                       false_tracks=false_tracks, track_purity=purity,
-                      switched_tracks=switched)
+                      switched_tracks=switched, ghost_tracks=ghost_tracks)

@@ -194,9 +194,20 @@ def main():
         tag = f"{p:.3e}" if c else f"<= {b:.1e} (0 hits, 95% bound)"
         print(f"  T={t:5.1f}: Pfa={tag}", flush=True)
 
+    def wilson_ci(k, n, z=1.96):
+        """95% Wilson score interval (same convention as run_roc_full)."""
+        p = k / n
+        denom = 1.0 + z * z / n
+        center = (p + z * z / (2 * n)) / denom
+        half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+        return float(center - half), float(center + half)
+
+    pd_ci = [wilson_ci(int(c), args.trials) for c in pd_counts]
     i8 = T_SWEEP.index(T_REF)
+    lo8, hi8 = pd_ci[i8]
     headline = (
-        f"realdata 1D CA-GO: Pd={pds[i8]:.2f} at Pfa"
+        f"realdata 1D CA-GO: Pd={pds[i8]:.2f} (95% CI {lo8:.2f}-{hi8:.2f}"
+        f", {args.trials} trials) at Pfa"
         + (f"={pfa[i8]:.2e}" if counts[i8] else f"<={pfa_bound[i8]:.1e}")
         + f" (T={T_REF:g}, amp {args.amp} = "
           f"{20 * np.log10(args.amp):+.1f} dB/sample, 64p x 3404g x "
@@ -214,6 +225,8 @@ def main():
         "noise_cells": int(cells),
         "t_factors": T_SWEEP,
         "pd": [float(p) for p in pds],
+        "pd_hits": [int(c) for c in pd_counts],
+        "pd_ci95": [[lo, hi] for lo, hi in pd_ci],
         "pfa": [float(p) for p in pfa],
         "pfa_hits": [int(c) for c in counts],
         "pfa_95_upper_bound": [float(b) for b in pfa_bound],

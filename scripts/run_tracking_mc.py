@@ -124,6 +124,7 @@ def main() -> None:
         print(f"scene {s + 1}/{args.scenes} [{stype}]: "
               f"{len(log)} det -> {len(tracks)} tracks, "
               f"Pd={sc.track_pd:.2f} false={sc.false_tracks} "
+              f"(ghost={sc.ghost_tracks}) "
               f"frag={sc.fragmentation:.2f} switch={sc.switched_tracks}",
               flush=True)
     wall = time.time() - t0
@@ -137,6 +138,13 @@ def main() -> None:
                               3),
             "false_tracks_per_scene": round(
                 float(np.mean([x.false_tracks for x in items])), 3),
+            # subset of false tracks that are elevation-sidelobe GHOSTS
+            # of a real target (match a truth in R/V, fail the El gate) —
+            # survivors of the reference's (R,V)-only stage-2 anti-ghost
+            # merge when the ghost's velocity estimate exceeds its
+            # 0.4 m/s gate; the remainder is clutter-born
+            "ghost_tracks_per_scene": round(
+                float(np.mean([x.ghost_tracks for x in items])), 3),
             "fragmentation": round(float(np.nanmean(
                 [x.fragmentation for x in items])), 3),
             "switched_tracks_total": int(sum(x.switched_tracks

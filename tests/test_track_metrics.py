@@ -107,6 +107,30 @@ def test_score_tracks_outcome_classes():
     np.testing.assert_allclose(sc.truth_coverage[1], 5.0 / 6.0)
 
 
+def test_score_tracks_ghost_classification():
+    """A false track whose members match a truth in (R, V) but sit at a
+    far-off elevation — a beam-sidelobe ghost — counts in ghost_tracks;
+    a clutter track (matching nothing) does not."""
+    cfg = small_test_config()
+    t_frame = cfg.sig.frame_time
+    truth = TargetBatch.make([6400.0], [22.0], [32.0], [10.0])
+    rows = []
+    for f in range(1, 5):
+        rows.append((6400.0 - 22.0 * f * t_frame, 22.0, 32.0, 5.0, f))
+    for f in range(1, 5):   # ghost: same R/V, elevation 15 deg
+        rows.append((6400.0 - 22.0 * f * t_frame, 22.3, 15.0, 1.0, f))
+    for f in range(1, 4):   # clutter: matches nothing
+        rows.append((15000.0, -5.0, 5.0, 1.0, f))
+    log = _log_from_rows(rows)
+    tracks = [_track(np.arange(0, 4), 1, 4),
+              _track(np.arange(4, 8), 1, 4),
+              _track(np.arange(8, 11), 1, 3)]
+    sc = score_tracks(log, tracks, truth, 4, cfg, kinematics="simple")
+    assert sc.truth_detected.all()
+    assert sc.false_tracks == 2
+    assert sc.ghost_tracks == 1
+
+
 def test_score_tracks_empty_log():
     cfg = small_test_config()
     truth = TargetBatch.make([3000.0], [20.0], [10.0], [10.0])
