@@ -92,9 +92,14 @@ def cluster_stage1(dets: ParamDetections,
 
 def cluster_stage2(t: ClusteredTargets,
                    params: ClusterParams) -> ClusteredTargets:
+    # stage-2 velocity gate: the reference reuses max_vel_sep
+    # (fun_process_single_frame.m:361); stage2_vel_gate widens only this
+    # anti-ghost merge (see ClusterParams for the measured rationale)
+    v_gate = (params.max_vel_sep if params.stage2_vel_gate is None
+              else params.stage2_vel_gate)
     adj = gate_adjacency(
         [(t.range_m, params.max_range_sep),
-         (t.velocity_ms, params.max_vel_sep)], t.valid)
+         (t.velocity_ms, v_gate)], t.valid)
     labels = connected_labels(adj, t.valid)
     fields = {"range_m": t.range_m, "velocity_ms": t.velocity_ms,
               "angle_deg": t.angle_deg}

@@ -136,6 +136,16 @@ class ClusterParams:
     max_vel_sep: float = 0.4      # m/s
     max_angle_sep: float = 5.0    # degrees (stage 1 only)
     max_clusters: int = 128       # jit-static capacity
+    # Stage-2 (inter-beam anti-ghost) velocity gate override. The
+    # reference reuses max_vel_sep=0.4 m/s for BOTH stages
+    # (fun_process_single_frame.m:361); tracking-MC diagnosis
+    # (results/tracking_mc.json ghost_tracks): elevation-sidelobe ghosts
+    # of an edge-of-fan target slip the merge when their velocity
+    # estimate differs by >0.4 m/s from the main lobe's, surviving as
+    # false tracks. Setting e.g. 1.0 widens ONLY the anti-ghost merge
+    # (cross-beam, same range) without touching stage-1 target
+    # separation. None = reference behavior (default).
+    stage2_vel_gate: float | None = None
     # v7_7 variant: stage 1 keeps the modal member PairIndex per cluster
     # (mode([detections.PairIndex]), main_simulate_echoes_with_array_
     # v7_7.m:766 — MATLAB mode tie-breaks to the smallest value); stage 2

@@ -38,8 +38,13 @@ import numpy as np  # noqa: E402
 SCENE_TYPES = ("random", "close", "crossing")
 
 
-def make_scene(rng, cfg, scene_type: str, num_frames: int):
-    """5-target TargetBatch of the given type (see module docstring)."""
+def make_scene(rng, cfg, scene_type: str, num_frames: int, el_range=None):
+    """5-target TargetBatch of the given type (see module docstring).
+
+    ``el_range``: override for the elevation draw — scaled synthesized
+    banks (e.g. the 64-ch -16..+3.2 deg fan) are narrower than
+    random_scene's default -10..40 span; a truth outside the beam fan
+    would score as a spurious miss."""
     from radar_tpu.pipeline.streaming import random_scene
 
     base = random_scene(rng, 5, cfg, snr_range=(0.0, 15.0))
@@ -47,6 +52,8 @@ def make_scene(rng, cfg, scene_type: str, num_frames: int):
     v = base.velocity_ms.copy()
     el = base.elevation_deg.copy()
     snr = base.snr_db.copy()
+    if el_range is not None:
+        el = rng.uniform(el_range[0], el_range[1], len(el))
     t_frame = cfg.sig.frame_time
     if scene_type == "close":
         # pair 0/1: just above the stage-1 cluster gates (30 m, 0.4 m/s).
@@ -80,9 +87,20 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--channels", type=int, default=None,
+                    help="use scaled_config(channels, pulses) — the "
+                         "BASELINE headline geometry is --channels 64 "
+                         "--pulses 256 (synthesized Hamming bank; "
+                         "elevations drawn inside its -16..+3.2 deg fan)")
+    ap.add_argument("--pulses", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--exact", action="store_true",
                     help="exact-reference-stream path instead of perf")
+    ap.add_argument("--stage2-vel-gate", type=float, default=None,
+                    help="override the stage-2 anti-ghost velocity gate "
+                         "(reference: max_vel_sep=0.4 m/s; e.g. 1.0 "
+                         "merges elevation-sidelobe ghosts whose "
+                         "velocity estimate drifts past 0.4)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -101,10 +119,28 @@ def main() -> None:
     from radar_tpu.pipeline.track_metrics import score_tracks
     from radar_tpu.waveform.precompute import precompute
 
-    cfg = small_test_config() if args.small else full_config()
+    if args.small:
+        cfg = small_test_config()
+    elif args.channels is not None:
+        from radar_tpu.config.params import scaled_config
+
+        cfg = scaled_config(channels=args.channels, pulses=args.pulses)
+    else:
+        cfg = full_config()
     if not args.exact:
         cfg = perf_config(cfg, pallas=not args.cpu)
+    if args.stage2_vel_gate is not None:
+        import dataclasses
+
+        cfg = cfg.replace(cluster=dataclasses.replace(
+            cfg.cluster, stage2_vel_gate=args.stage2_vel_gate))
     pre = precompute(cfg)
+    # keep truths inside the beam fan (only binds for narrow scaled
+    # banks; the default -10..40 draw is unchanged for the 16-ch bank,
+    # preserving the committed artifact's scene stream)
+    ang = np.asarray(pre.beam_angles_deg, float)
+    el_lo, el_hi = max(-10.0, ang.min() + 1.0), min(40.0, ang.max() - 1.0)
+    el_range = None if (el_lo, el_hi) == (-10.0, 40.0) else (el_lo, el_hi)
     runner = make_device_multiframe(cfg, pre, kinematics="simple")
 
     per_scene = []
@@ -112,7 +148,7 @@ def main() -> None:
     for s in range(args.scenes):
         stype = SCENE_TYPES[s % len(SCENE_TYPES)]
         rng = np.random.default_rng(args.seed + 1000 + s)
-        truth = make_scene(rng, cfg, stype, args.frames)
+        truth = make_scene(rng, cfg, stype, args.frames, el_range)
         key = jax.random.PRNGKey(args.seed + 5000 + s)
         results, azimuths, _ = jax.block_until_ready(
             runner(key, truth, args.frames))
@@ -163,7 +199,9 @@ def main() -> None:
     print(f"\noverall ({args.scenes} scenes x {args.frames} frames, "
           f"{wall:.0f}s): {json.dumps(overall)}")
 
-    out = args.out or (os.path.join("results", "tracking_mc.json")
+    default_name = ("tracking_mc.json" if args.channels is None
+                    else f"tracking_mc_{args.channels}ch.json")
+    out = args.out or (os.path.join("results", default_name)
                        if not (args.small or args.cpu)
                        else "/tmp/tracking_mc.json")
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
@@ -176,7 +214,8 @@ def main() -> None:
             "device": jax.devices()[0].device_kind,
             "config": {"channels": cfg.sig.channel_num,
                        "pulses": cfg.sig.prt_num, "seed": args.seed,
-                       "path": "exact" if args.exact else "perf"},
+                       "path": "exact" if args.exact else "perf",
+                       "stage2_vel_gate": args.stage2_vel_gate},
             "scenes": args.scenes,
             "frames_per_scene": args.frames,
             "wall_s": round(wall, 1),

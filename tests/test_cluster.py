@@ -92,6 +92,31 @@ def test_stage2_winner_take_all_ignores_angle():
     np.testing.assert_allclose(np.asarray(out.power)[valid], [9.0])
 
 
+def test_stage2_vel_gate_override_merges_ghosts():
+    """Two entries at one range with dV=0.6 m/s — an elevation-sidelobe
+    ghost scenario (tracking_mc.json diagnosis): the reference's 0.4 m/s
+    stage-2 gate keeps both (reference default), stage2_vel_gate=1.0
+    merges them winner-take-all."""
+    import dataclasses
+
+    from radar_tpu.cluster.stages import ClusteredTargets
+
+    t = ClusteredTargets(
+        range_m=jnp.asarray([6400.0, 6402.0]),
+        velocity_ms=jnp.asarray([22.1, 22.7]),
+        angle_deg=jnp.asarray([32.6, 15.0]),
+        power=jnp.asarray([9.0, 1.0]),
+        valid=jnp.asarray([True, True]))
+    ref = cluster_stage2(t, ClusterParams())
+    assert np.asarray(ref.valid).sum() == 2        # reference behavior
+    merged = cluster_stage2(
+        t, dataclasses.replace(ClusterParams(), stage2_vel_gate=1.0))
+    valid = np.asarray(merged.valid)
+    assert valid.sum() == 1                        # ghost merged away
+    np.testing.assert_allclose(np.asarray(merged.angle_deg)[valid],
+                               [32.6])             # winner = main lobe
+
+
 def test_cluster_empty_input():
     dets = _dets([0.0] * 4, [0.0] * 4, [0.0] * 4, [0.0] * 4,
                  valid=[False] * 4)
