@@ -236,7 +236,9 @@ def stage4_measurement(prelim: Detections, mtd_results: jnp.ndarray,
     mag = jnp.abs(mtd_results)
     maps = mag[:, :, :-1] + mag[:, :, 1:]
     p = estimate_parameters(prelim, maps, mtd_results, mc, ip.extra_dots,
-                            ip.r_interp_times, ip.v_interp_times)
+                            ip.r_interp_times, ip.v_interp_times,
+                            monopulse_complex=cfg.monopulse_complex,
+                            monopulse_refined=cfg.monopulse_refined)
     return RealDataMeasurement(
         range_m=p.range_m, velocity_ms=p.velocity_ms,
         elevation_deg=p.angle_deg, power=p.power, pair_idx=p.pair_idx,
