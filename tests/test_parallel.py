@@ -93,6 +93,29 @@ def test_sharded_pipeline_matches_single_device(dp, ch, cpi):
                                rtol=1e-3, atol=1e-3)
 
 
+def test_sharded_monopulse_refined_matches_single_device():
+    """The refined-index monopulse's extra 2D beam-stencil gathers and
+    separable-spline evaluation shard like the rest of the tail: the
+    (dp=2, ch=2, cpi=2)-sharded run matches the single-device run with
+    cfg.monopulse_refined=True."""
+    cfg = small_test_config(channels=8, pulses=32).replace(
+        monopulse_refined=True)
+    pre = precompute(cfg)
+    mesh = make_mesh(dp=2, ch=2, cpi=2)
+    tb = TargetBatch.make([3000.0, 9000.0], [10.0, 20.0], [10.0, 5.0],
+                          [18.0, 15.0])
+    key = jax.random.PRNGKey(0)
+    single = make_frame_processor(cfg, pre, dtype=jnp.complex64)(key, tb)
+    sharded = make_sharded_frame_processor(cfg, mesh, pre,
+                                           dtype=jnp.complex64)(key, tb)
+    assert int(single.num_final) == int(sharded.num_final)
+    sv = np.asarray(single.targets.valid)
+    np.testing.assert_array_equal(sv, np.asarray(sharded.targets.valid))
+    np.testing.assert_allclose(np.asarray(single.targets.angle_deg)[sv],
+                               np.asarray(sharded.targets.angle_deg)[sv],
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_multihost_helpers_single_process():
     from radar_tpu.parallel import multihost
 
