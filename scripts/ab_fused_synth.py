@@ -90,6 +90,8 @@ def main():
             kw["use_pallas_cfar"] = True
         if "b16out" in v:  # bf16 output planes for the signal-fused kernel
             kw["kernel_out_bf16"] = True
+        if "mrefined" in v:  # spline-refined-index monopulse (flaw fix)
+            kw["monopulse_refined"] = True
         if "mcfar" in v:   # MXU banded-stencil CFAR window means
             import dataclasses
 
