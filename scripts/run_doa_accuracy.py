@@ -29,6 +29,15 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=50)
+    ap.add_argument("--snapshots", type=int, default=512)
+    ap.add_argument("--out", default=os.path.join(REPO, "results",
+                                                  "doa_accuracy.json"))
+    args = ap.parse_args()
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -46,7 +55,7 @@ def main() -> None:
 
     cfg = full_config()
     d, wl = cfg.array.element_spacing, cfg.sig.wavelength
-    trials, snap, snr_db = 50, 512, 5.0
+    trials, snap, snr_db = args.trials, args.snapshots, 5.0
     rng = np.random.default_rng(20260821)
     t0 = time.time()
 
@@ -150,7 +159,7 @@ def main() -> None:
                "per BASELINE.json config 4; search-free + coherent "
                "methods are beyond-reference",
     }
-    path = os.path.join(REPO, "results", "doa_accuracy.json")
+    path = args.out
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
