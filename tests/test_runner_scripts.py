@@ -44,6 +44,36 @@ def test_run_simulation_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_run_simulation_resume_cli(tmp_path):
+    """Restart-on-failure at the CLI surface (SURVEY 5.3): a 2-frame
+    --resume run rerun at 4 frames replays 1-2 from disk and only
+    processes 3-4."""
+    out = tmp_path / "simres"
+    _run("run_simulation.py", ["--cpu", "--small", "--frames", "2",
+                               "--resume", "--out", str(out)])
+    stdout = _run("run_simulation.py", ["--cpu", "--small", "--frames", "4",
+                                        "--resume", "--out", str(out)])
+    assert "resuming: frames 1..2 replay" in stdout
+    log = json.loads((out / "detection_log.json").read_text())
+    assert {row["frame"] for row in log} == {1, 2, 3, 4}
+
+
+@pytest.mark.slow
+def test_run_simulation_device_scan_resume_cli(tmp_path):
+    """The chunked on-device lax.scan variant of the same contract."""
+    out = tmp_path / "dsres"
+    _run("run_simulation.py", ["--cpu", "--small", "--frames", "2",
+                               "--device-scan", "--resume",
+                               "--out", str(out)])
+    stdout = _run("run_simulation.py", ["--cpu", "--small", "--frames", "4",
+                                        "--device-scan", "--resume",
+                                        "--out", str(out)])
+    assert "resuming: chunks ending at" in stdout
+    log = json.loads((out / "detection_log.json").read_text())
+    assert {row["frame"] for row in log} == {1, 2, 3, 4}
+
+
+@pytest.mark.slow
 def test_run_snr_sweep_smoke(tmp_path):
     js = tmp_path / "sweep.json"
     _run("run_snr_sweep.py",
