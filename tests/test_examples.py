@@ -55,6 +55,7 @@ def test_examples_cover_all_files():
         "04_realdata_stages.py",
         "05_elastic_checkpointing.py",
         "06_five_target_tracking.py",
+        "07_multichip_sharding.py",
     ]
 
 
