@@ -93,10 +93,20 @@ class TrackScore:
         return float(d.mean()) if len(d) else np.nan
 
 
+# default truth-match gates (2 range cells of slack + the Doppler-
+# resolution scale). Scripts that record gates in their artifacts derive
+# the record from this dict so the artifact cannot silently disagree
+# with the scoring (self-review round 5).
+DEFAULT_MATCH_GATES = {"range_m": 60.0, "velocity_ms": 3.0,
+                       "elevation_deg": 5.0, "purity_floor": 0.5}
+
+
 def score_tracks(log, tracks, truth: TargetBatch, num_frames: int,
                  cfg: RadarConfig, kinematics: str = "simple",
-                 gate_r: float = 60.0, gate_v: float = 3.0,
-                 gate_el: float = 5.0, purity_floor: float = 0.5,
+                 gate_r: float = DEFAULT_MATCH_GATES["range_m"],
+                 gate_v: float = DEFAULT_MATCH_GATES["velocity_ms"],
+                 gate_el: float = DEFAULT_MATCH_GATES["elevation_deg"],
+                 purity_floor: float = DEFAULT_MATCH_GATES["purity_floor"],
                  switch_floor: float = 0.3) -> TrackScore:
     """Score an associator output (``tracks`` over DetectionLog ``log``)
     against ``truth``'s trajectories. Gates default to the streaming-MC

@@ -53,7 +53,8 @@ def main() -> None:
     from radar_tpu.config.params import (full_config, perf_config,
                                          small_test_config)
     from radar_tpu.pipeline.driver import run_multiframe_device
-    from radar_tpu.pipeline.track_metrics import score_tracks
+    from radar_tpu.pipeline.track_metrics import (DEFAULT_MATCH_GATES,
+                                                  score_tracks)
     from radar_tpu.sim.scenario import five_target_scene
     from radar_tpu.viz.plots import plot_ppi, plot_track_history
     from radar_tpu.waveform.precompute import precompute
@@ -123,11 +124,13 @@ def main() -> None:
         "tracks": len(tracks),
         "track_pd": round(score.track_pd, 3),
         "false_tracks": score.false_tracks,
-        "fragmentation": round(score.fragmentation, 3),
+        # fragmentation is NaN when zero truths were detected; json.dump
+        # would emit a non-RFC-8259 literal — map to None (self-review r5)
+        "fragmentation": (None if score.fragmentation != score.fragmentation
+                          else round(score.fragmentation, 3)),
         "switched_tracks": score.switched_tracks,
         "per_target": per_target,
-        "match_gates": {"range_m": 60.0, "velocity_ms": 3.0,
-                        "elevation_deg": 5.0, "purity_floor": 0.5},
+        "match_gates": dict(DEFAULT_MATCH_GATES),
     }
     if args.seeds > 1:
         import numpy as np
@@ -144,7 +147,9 @@ def main() -> None:
                 round(float(np.mean([s.truth_coverage[k] for s in scs])), 3)
                 for k in range(scene.num_targets)],
             "false_tracks_total": int(sum(s.false_tracks for s in scs)),
-            "fragmentation_mean": round(float(np.mean(
+            # nanmean: a zero-detection seed contributes NaN (same
+            # convention as run_tracking_mc.py's aggregation)
+            "fragmentation_mean": round(float(np.nanmean(
                 [s.fragmentation for s in scs])), 3),
         }
         print("robustness:", json.dumps(artifact["robustness"]))

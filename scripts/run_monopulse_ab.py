@@ -62,8 +62,10 @@ def main() -> None:
     rows = []
     for name, cfg in (("integer_flaw", cfg_int), ("refined", cfg_ref)):
         t0 = time.time()
+        # precompute is independent of the monopulse flag — share one
+        # (the full-config precompute costs minutes on this host)
         res = snr_sweep(cfg, snr_db_vector=snrs, num_trials=args.trials,
-                        seed=7, batch_size=args.batch)
+                        seed=7, batch_size=args.batch, precomp=pre)
         print(f"{name}: {time.time() - t0:.0f}s")
         for s, sd, pd in zip(res.snr_db, res.angle_error_std,
                              res.detection_probability):

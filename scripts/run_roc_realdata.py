@@ -194,13 +194,7 @@ def main():
         tag = f"{p:.3e}" if c else f"<= {b:.1e} (0 hits, 95% bound)"
         print(f"  T={t:5.1f}: Pfa={tag}", flush=True)
 
-    def wilson_ci(k, n, z=1.96):
-        """95% Wilson score interval (same convention as run_roc_full)."""
-        p = k / n
-        denom = 1.0 + z * z / n
-        center = (p + z * z / (2 * n)) / denom
-        half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
-        return float(center - half), float(center + half)
+    from radar_tpu.utils.stats import wilson_ci
 
     pd_ci = [wilson_ci(int(c), args.trials) for c in pd_counts]
     i8 = T_SWEEP.index(T_REF)

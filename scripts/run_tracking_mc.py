@@ -68,10 +68,20 @@ def make_scene(rng, cfg, scene_type: str, num_frames: int, el_range=None):
         v[1] = v[0] + dv if v[0] + dv <= v_hi else v[0] - dv
         el[1] = el[0] + rng.uniform(-1.0, 1.0)
     elif scene_type == "crossing":
-        # pair 0/1: range tracks cross at ~0.6 * num_frames
+        # pair 0/1: range tracks cross at ~0.6 * num_frames. Both
+        # velocities must stay inside the valid Doppler band (same
+        # bound the 'close' branch guards) — at narrow bands (e.g.
+        # --small's 32 pulses) the unclamped 15/-15 m/s pair would
+        # alias and score as built-in misses (self-review round 5).
+        border_v = cfg.cfar.ref_cells_v + cfg.cfar.guard_cells_v
+        v_lo = ((border_v + 2) / cfg.sig.prt_num - 0.5) * cfg.sig.v_max
+        v_hi = ((cfg.sig.prt_num - border_v - 2) / cfg.sig.prt_num
+                - 0.5) * cfg.sig.v_max
         span = v.max() - v.min()
         dv = min(30.0, span) if span > 10 else 30.0
-        v[0] = abs(v[0]) if abs(v[0]) > 5 else 15.0
+        dv = min(dv, 0.9 * (v_hi - v_lo))
+        v0 = abs(v[0]) if abs(v[0]) > 5 else 15.0
+        v[0] = min(max(v0, v_lo + dv), v_hi)
         v[1] = v[0] - dv                       # opposite/receding
         f_cross = 0.6 * num_frames
         r[1] = r[0] - dv * t_frame * f_cross   # R2 rises through R1
@@ -116,7 +126,8 @@ def main() -> None:
     from radar_tpu.pipeline.driver import (associate_tracks,
                                            device_results_to_log,
                                            make_device_multiframe)
-    from radar_tpu.pipeline.track_metrics import score_tracks
+    from radar_tpu.pipeline.track_metrics import (DEFAULT_MATCH_GATES,
+                                                  score_tracks)
     from radar_tpu.waveform.precompute import precompute
 
     if args.small:
@@ -221,8 +232,7 @@ def main() -> None:
             "wall_s": round(wall, 1),
             "overall": overall,
             "by_scene_type": by_type,
-            "match_gates": {"range_m": 60.0, "velocity_ms": 3.0,
-                            "elevation_deg": 5.0, "purity_floor": 0.5},
+            "match_gates": dict(DEFAULT_MATCH_GATES),
         }, f, indent=1)
     print("wrote", out)
 
