@@ -163,6 +163,14 @@ class InterFrameParams:
     gate_az_deg: float = 10.0
     max_frame_gap: int = 3
     max_tracks: int = 256
+    # The reference gates azimuth with a PLAIN |az_i - az_j| on values
+    # wrapped mod 360 and merges with a linear power-weighted mean
+    # (v8_3.m:288,323) — a physical track crossing north (359.9 -> 0.1
+    # deg) splits into two tracks and a straddling cluster's merged
+    # azimuth lands near 180. False (default) preserves that reference
+    # behavior; True uses the circular distance min(|d|, 360-|d|) and a
+    # power-weighted circular mean (atan2 of summed sin/cos) instead.
+    wrap_azimuth: bool = False
 
     def gate_r(self, cluster: ClusterParams) -> float:
         return cluster.max_range_sep * self.k

@@ -105,12 +105,17 @@ def associate_tracks(log: DetectionLog, cfg: RadarConfig) -> list[Track]:
                  ifc.gate_az_deg, ifc.gate_el(cfg.cluster),
                  float(ifc.max_frame_gap))
     # fast path: native C++ spatial-hash BFS (radar_tpu/native); identical
-    # partition and component order to the dense numpy BFS fallback
+    # partition and component order to the dense numpy BFS fallback. The
+    # wrap_azimuth variant needs the circular azimuth metric the native
+    # engine does not implement — it takes the numpy path.
     from ..native import associate_tracks_5d_native
 
-    comp = associate_tracks_5d_native(log.range_m, log.velocity_ms,
-                                      log.azimuth_deg, log.elevation_deg,
-                                      log.frame, gate_vals)
+    comp = None
+    if not ifc.wrap_azimuth:
+        comp = associate_tracks_5d_native(log.range_m, log.velocity_ms,
+                                          log.azimuth_deg,
+                                          log.elevation_deg,
+                                          log.frame, gate_vals)
     if comp is None:
         gates = [
             (log.range_m, gate_vals[0]),
@@ -120,8 +125,11 @@ def associate_tracks(log: DetectionLog, cfg: RadarConfig) -> list[Track]:
             (log.frame.astype(float), gate_vals[4]),
         ]
         adj = np.ones((n, n), dtype=bool)
-        for f, g in gates:
-            adj &= np.abs(f[:, None] - f[None, :]) <= g
+        for i, (f, g) in enumerate(gates):
+            d = np.abs(f[:, None] - f[None, :])
+            if i == 2 and ifc.wrap_azimuth:
+                d = np.minimum(d, 360.0 - d)   # circular distance
+            adj &= d <= g
         comp = connected_components_np(adj)
 
     tracks = []
@@ -130,11 +138,20 @@ def associate_tracks(log: DetectionLog, cfg: RadarConfig) -> list[Track]:
         powers = log.power[m]
         total = powers.sum()
         w = int(np.argmax(powers))
+        if ifc.wrap_azimuth:
+            # power-weighted CIRCULAR mean — a cluster straddling north
+            # (359.9/0.1) merges to ~0 deg, not ~180
+            az_r = np.deg2rad(log.azimuth_deg[m])
+            az = float(np.mod(np.rad2deg(np.arctan2(
+                (np.sin(az_r) * powers).sum(),
+                (np.cos(az_r) * powers).sum())), 360.0))
+        else:
+            az = float((log.azimuth_deg[m] * powers).sum() / total)
         tracks.append(Track(
             range_m=float(log.range_m[m][w]),
             velocity_ms=float(log.velocity_ms[m][w]),
             elevation_deg=float(log.elevation_deg[m][w]),
-            azimuth_deg=float((log.azimuth_deg[m] * powers).sum() / total),
+            azimuth_deg=az,
             power=float(powers[w]),
             first_frame=int(log.frame[m].min()),
             last_frame=int(log.frame[m].max()),
@@ -170,8 +187,6 @@ def make_device_multiframe(cfg: RadarConfig, precomp=None,
     FrameResult [num_frames, ...], azimuth_deg [num_frames])``; feed the
     stacked results to ``device_results_to_log`` for association."""
     import jax.numpy as jnp
-
-    from .frame import make_frame_processor
 
     if kinematics not in ("altitude", "simple"):
         raise ValueError(f"unknown kinematics model {kinematics!r}")
@@ -255,7 +270,10 @@ def run_multiframe_device(cfg: RadarConfig, initial_targets: TargetBatch,
                           dtype=None, store=None,
                           chunk_frames: int | None = None,
                           kinematics: str = "altitude"):
-    """Device-scan counterpart of ``run_multiframe``; same outputs.
+    """Device-scan counterpart of ``run_multiframe``. Returns
+    ``(log, tracks)`` — unlike ``run_multiframe``, no host-side
+    ``Scenario`` exists to return (the kinematic state lives in the scan
+    carry).
 
     ``store`` (an ``io.orbax_store.OrbaxFrameStore``) + ``chunk_frames``:
     restart-on-failure for the DEVICE-SCAN runner — the scan executes in

@@ -58,7 +58,14 @@ def random_scene(rng: np.random.Generator, num_targets: int,
 
 
 def _match_rate(final, truth: TargetBatch, gate_r: float, gate_v: float):
-    """Per-truth-target detected flags + (dR, dV) of the best match."""
+    """Per-truth-target detected flags + (dR, dV) of the best match.
+
+    Convention: each truth is gated INDEPENDENTLY (no one-to-one
+    assignment) — one merged detection sitting inside two truths' gates
+    marks both detected. With truths drawn uniformly over ~3k gates the
+    collision probability is <1e-3 per pair, so the Pd inflation is
+    negligible at the committed artifact scales; track-level scoring
+    (pipeline/track_metrics.py) does perform exclusive assignment."""
     valid = np.asarray(final.valid)
     fr = np.asarray(final.range_m)[valid]
     fv = np.asarray(final.velocity_ms)[valid]
@@ -172,7 +179,25 @@ def run_streaming_mc(cfg: RadarConfig, num_scenes: int = 16,
             # mixed-precision / differently-reduced results into one
             # statistic (advisor round-4 finding)
             "dtype": str(jnp.dtype(dtype)),
-            "dp_trials": bool(mesh is not None and dp_trials),
+            # the full trial-batch ROUTE, not just the dp bool: the
+            # mesh-GSPMD within-frame route and the single-device
+            # vmap/lax.map routes reduce in different orders (~1e-3
+            # rtol), so splicing them into one statistic must be refused
+            # (round-5 self-review). "dp" deliberately omits the mesh
+            # shape — each device runs the full pipeline locally, so
+            # per-trial numerics are dp-size-independent (the elastic
+            # dp=N -> dp=M resume feature, proven field-exact in
+            # tests/test_streaming.py). The gspmd route's numerics DO
+            # depend on the model-axis sizes — they are recorded.
+            "trial_route": (
+                "dp" if (mesh is not None and dp_trials)
+                else "gspmd:" + "x".join(
+                    f"{k}={v}" for k, v in mesh.shape.items()
+                    if k != "dp") if mesh is not None
+                else "map" if (cfg.lowrank_rdm and cfg.fused_synth_dbf
+                               and cfg.noise_rdm_impl in ("pallas",
+                                                          "pallas_prng"))
+                else "vmap"),
         })
         done = set(store.frames_done())
     like_cache = None

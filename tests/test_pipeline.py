@@ -81,6 +81,37 @@ def test_track_association_splits_far_targets():
     assert len(tracks_without_association(log)) == 4
 
 
+def test_track_association_azimuth_wrap_variant():
+    """The reference gates azimuth with plain |d| on mod-360 values and
+    merges with a linear weighted mean (v8_3.m:288,323): a physical
+    track crossing north splits and a straddling cluster lands near
+    180 deg. Default preserves that; wrap_azimuth=True uses the
+    circular metric + circular mean."""
+    import dataclasses
+
+    log = DetectionLog(
+        range_m=np.array([2000.0, 2001.0]),
+        velocity_ms=np.array([5.0, 5.0]),
+        elevation_deg=np.array([10.0, 10.0]),
+        power=np.array([1.0, 1.0]),
+        frame=np.array([1, 2]),
+        azimuth_deg=np.array([359.5, 0.5]),   # 1 deg apart across north
+    )
+    cfg = small_test_config()
+    # reference behavior: |359.5 - 0.5| = 359 > gate -> two tracks
+    assert len(associate_tracks(log, cfg)) == 2
+    cfg_w = cfg.replace(inter_frame=dataclasses.replace(
+        cfg.inter_frame, wrap_azimuth=True))
+    tracks = associate_tracks(log, cfg_w)
+    assert len(tracks) == 1
+    # circular power-weighted mean of 359.5/0.5 is 0 (mod 360), not 180
+    az = tracks[0].azimuth_deg
+    assert min(az, 360.0 - az) < 1e-6
+    # far-apart azimuths still split under the wrap metric
+    log.azimuth_deg = np.array([90.0, 270.0])
+    assert len(associate_tracks(log, cfg_w)) == 2
+
+
 @pytest.mark.slow
 def test_monte_carlo_sweep_small():
     cfg = small_test_config(channels=8, pulses=32)
