@@ -48,31 +48,35 @@ def _stencil_gather(maps: jnp.ndarray, v_idx, r_idx, pair_idx, extra: int,
     of the pair-sum cube ([V, G, pairs] or, ``layout="qgv"``,
     [pairs, G, V]) -> [cap, 2*extra+1].
 
-    Stencil cells are clipped to the map edge (CFAR border exclusion
-    guarantees in-range stencils whenever ref+guard >= extra, which holds for
-    every shipped config; clipping only guards degenerate configs)."""
+    Edge handling: range stencils CLIP to the map edge, Doppler stencils
+    WRAP (the fftshifted Doppler axis is circular — row 0's true
+    neighbor is row V-1). On the sim path both are no-ops: the 2D CFAR's
+    border exclusion keeps every detection ref+guard >= extra cells from
+    any edge. On the real-data path (1D CFAR with edge FALLBACK, no
+    border exclusion) edge detections do occur: the wrap gives the
+    physically-correct Doppler stencil, while a range stencil clipped at
+    a segment edge carries a documented up-to-~1-cell refinement bias
+    (the reference's own interp1 behaves no better there)."""
     offs = jnp.arange(-extra, extra + 1)
     if layout == "qgv":
         if axis == "r":
             cells = jnp.clip(r_idx[:, None] + offs[None, :], 0,
                              maps.shape[1] - 1)
             return maps[pair_idx[:, None], cells, v_idx[:, None]]
-        cells = jnp.clip(v_idx[:, None] + offs[None, :], 0,
-                         maps.shape[2] - 1)
+        cells = jnp.mod(v_idx[:, None] + offs[None, :], maps.shape[2])
         return maps[pair_idx[:, None], r_idx[:, None], cells]
     if layout == "qvg":   # [pairs, V, G] (fused-kernel map output)
         if axis == "r":
             cells = jnp.clip(r_idx[:, None] + offs[None, :], 0,
                              maps.shape[2] - 1)
             return maps[pair_idx[:, None], v_idx[:, None], cells]
-        cells = jnp.clip(v_idx[:, None] + offs[None, :], 0,
-                         maps.shape[1] - 1)
+        cells = jnp.mod(v_idx[:, None] + offs[None, :], maps.shape[1])
         return maps[pair_idx[:, None], cells, r_idx[:, None]]
     if axis == "r":
         cells = jnp.clip(r_idx[:, None] + offs[None, :], 0,
                          maps.shape[1] - 1)
         return maps[v_idx[:, None], cells, pair_idx[:, None]]
-    cells = jnp.clip(v_idx[:, None] + offs[None, :], 0, maps.shape[0] - 1)
+    cells = jnp.mod(v_idx[:, None] + offs[None, :], maps.shape[0])
     return maps[cells, r_idx[:, None], pair_idx[:, None]]
 
 
@@ -90,8 +94,7 @@ def _stencil_gather_rdm(rdm: jnp.ndarray, v_idx, r_idx, pair_idx,
         a = rdm[v_idx[:, None], cells, pair_idx[:, None]]
         b = rdm[v_idx[:, None], cells, pair_idx[:, None] + 1]
     else:
-        cells = jnp.clip(v_idx[:, None] + offs[None, :], 0,
-                         rdm.shape[0] - 1)
+        cells = jnp.mod(v_idx[:, None] + offs[None, :], rdm.shape[0])
         a = rdm[cells, r_idx[:, None], pair_idx[:, None]]
         b = rdm[cells, r_idx[:, None], pair_idx[:, None] + 1]
     return jnp.abs(a) + jnp.abs(b)
@@ -111,13 +114,14 @@ def _spline_peak_offset(stencil: jnp.ndarray, q: jnp.ndarray,
 def _stencil_gather_2d(rdm: jnp.ndarray, beam, v_idx, r_idx, extra: int,
                        layout: str) -> jnp.ndarray:
     """[cap, 2e+1 (v), 2e+1 (r)] stencil of one beam's complex RDM around
-    each detection (edge-clipped like the 1D gathers)."""
+    each detection (range clipped / Doppler wrapped like the 1D
+    gathers)."""
     offs = jnp.arange(-extra, extra + 1)
     if layout == "bvg":
-        vc = jnp.clip(v_idx[:, None] + offs[None, :], 0, rdm.shape[1] - 1)
+        vc = jnp.mod(v_idx[:, None] + offs[None, :], rdm.shape[1])
         rc = jnp.clip(r_idx[:, None] + offs[None, :], 0, rdm.shape[2] - 1)
         return rdm[beam[:, None, None], vc[:, :, None], rc[:, None, :]]
-    vc = jnp.clip(v_idx[:, None] + offs[None, :], 0, rdm.shape[0] - 1)
+    vc = jnp.mod(v_idx[:, None] + offs[None, :], rdm.shape[0])
     rc = jnp.clip(r_idx[:, None] + offs[None, :], 0, rdm.shape[1] - 1)
     return rdm[vc[:, :, None], rc[:, None, :], beam[:, None, None]]
 

@@ -79,7 +79,13 @@ def zero_velocity_mask(num_v: int, num_suppress: int) -> jnp.ndarray:
     """Boolean [V]: True where detection is allowed. Clutter band =
     +/- num_suppress rows around the 1-based center round(V/2)+1
     (executeCFAR_2D, ref :448-452)."""
-    center = round(num_v / 2)  # 0-based equivalent of MATLAB round(V/2)+1
+    # 0-based equivalent of MATLAB's 1-based round(V/2)+1. MATLAB round()
+    # is half-AWAY-from-zero; Python round() is banker's (half-to-even),
+    # which disagrees for odd V with even floor(V/2) (e.g. V=333:
+    # MATLAB 167 vs Python 166) — (V+1)//2 reproduces the MATLAB value
+    # for every V (self-review round 5; latent at the shipped even
+    # prt_num=332).
+    center = (num_v + 1) // 2
     idx = jnp.arange(num_v)
     return ~((idx >= center - num_suppress) & (idx <= center + num_suppress))
 
@@ -113,7 +119,7 @@ def segmented_cfar_1d(maps: jnp.ndarray, params: Cfar1DParams,
     thresholds = []
     start = 0
     for width in gate_splits:
-        seg = jnp.take(maps, jnp.arange(start, start + width), axis=1)
+        seg = maps[:, start:start + width]
         f, t = _segment_cfar_1d(seg, params.guard_cells, params.ref_cells,
                                 t_cfar, params.method,
                                 axis=1)

@@ -21,14 +21,21 @@ def mix_to_baseband(x: jnp.ndarray, carrier_freq: float, fs: float,
     n = x.shape[-1]
     t = np.arange(n) / fs
     lo = np.exp(-1j * (2 * np.pi * carrier_freq * t + phase))
-    return x * jnp.asarray(lo, jnp.complex64 if x.dtype != jnp.complex128
-                           else jnp.complex128)
+    # LO precision follows the INPUT's precision class: a float64/
+    # complex128 chain keeps f64 LO phases; only f32-class inputs get the
+    # complex64 LO (keying on "not complex128" silently capped an f64
+    # real passband input at ~1e-7 phase quantization — self-review r5)
+    f64_in = jnp.finfo(x.dtype).bits == 64
+    return x * jnp.asarray(lo, jnp.complex128 if f64_in else jnp.complex64)
 
 
 def decimation_filter(x: jnp.ndarray, taps=None) -> jnp.ndarray:
     """Causal FIR along the last axis (MATLAB ``filter(Num, 1, x)``) with
     the measured decimation taps by default."""
     h = np.asarray(assets.ddc_fir_taps() if taps is None else taps)
+    # cast taps to the input's real dtype once: float64 numpy scalars
+    # would otherwise promote a complex64 input to complex128 under x64
+    h = jnp.asarray(h, jnp.finfo(x.dtype).dtype)
     lh = len(h)
     n = x.shape[-1]
     pad = [(0, 0)] * (x.ndim - 1) + [(lh - 1, 0)]

@@ -90,10 +90,12 @@ def _stage2_pulse_compress(iq_beams: jnp.ndarray, cfg: RadarConfig
     x = jnp.swapaxes(iq_beams, 1, 2)  # [P, B, G]
     pieces = []
     start = 0
-    for pulse, width in zip(pulses, splits):
+    for seg_i, (pulse, width) in enumerate(zip(pulses, splits)):
         seg = x[..., start:start + width]
         h = np.conj(pulse[::-1])
-        if len(pulse) > 4:  # windowed LFM matched filters (kaiser 4.5)
+        if seg_i > 0:  # the medium/long LFM matched filters get the
+            # kaiser-4.5 window; the narrow sin pulse (segment 0) never
+            # does (keying on position, not a sample-count proxy)
             h = h * kaiser_window(len(pulse), 4.5)[::-1]
         lh = len(h)
         nfft = 1
@@ -182,15 +184,25 @@ def _delta_v_bin(sig) -> float:
     return sig.wavelength * (1.0 / sig.prt) / (2.0 * sig.prt_num)
 
 
+def pair_sum_maps_realdata(mtd_results: jnp.ndarray) -> jnp.ndarray:
+    """Adjacent-beam amplitude sum maps [V, G, pairs] from the complex
+    RDM — shared by stages 3 and 4 (compute once per frame; the cube is
+    ~14M cells)."""
+    mag = jnp.abs(mtd_results)
+    return mag[:, :, :-1] + mag[:, :, 1:]
+
+
 def stage3_detection(mtd_results: jnp.ndarray, cfg: RadarConfig,
-                     threshold_factor=None
+                     threshold_factor=None, maps: jnp.ndarray | None = None
                      ) -> tuple[Detections, jnp.ndarray]:
     """Sum-beam segmented 1D CFAR; returns (prelim detections, cfar flag
     cube [V, G, pairs]). ``threshold_factor`` optionally overrides the
-    config value and may be traced (operating-curve sweeps)."""
+    config value and may be traced (operating-curve sweeps); pass
+    ``maps=pair_sum_maps_realdata(mtd_results)`` to share the pair-sum
+    cube with stage 4."""
     sig = cfg.sig
-    mag = jnp.abs(mtd_results)
-    maps = mag[:, :, :-1] + mag[:, :, 1:]
+    if maps is None:
+        maps = pair_sum_maps_realdata(mtd_results)
     flags, _ = segmented_cfar_1d(maps, cfg.cfar1d, sig.point_prt_segments,
                                  _delta_v_bin(sig),
                                  threshold_factor=threshold_factor)
@@ -209,20 +221,28 @@ class RealDataMeasurement(NamedTuple):
     valid: jnp.ndarray
 
 
-def stage4_measurement(prelim: Detections, mtd_results: jnp.ndarray,
-                       cfg: RadarConfig, freq_no: int
-                       ) -> RealDataMeasurement:
-    """Spline refinement + monopulse with the freq-point K table row."""
+def measure_consts(cfg: RadarConfig, freq_no: int) -> "MeasureConsts":
+    """Host-side stage-4 constants (axes, spline upsample matrices, the
+    freq-point K row). Hoist out of per-slice loops — nothing here
+    depends on the data."""
     sig = cfg.sig
     from ..utils.signal import spline_upsample_matrix
 
     ip = cfg.interp
     n = 2 * ip.extra_dots + 1
     angle_k = assets.angle_k_table()
+    if not 0 <= freq_no < angle_k.shape[0]:
+        # the reference indexes the 11x12 Angle_k CSV with the frame
+        # header's frequency point, which is 1-BASED in MATLAB (1..11);
+        # this API is 0-based — callers feeding .bin header values must
+        # pass header_freq_no - 1 (SURVEY.md real-data adapter notes)
+        raise ValueError(
+            f"freq_no {freq_no} outside 0..{angle_k.shape[0] - 1} "
+            "(0-based frequency-point index; a MATLAB-convention .bin "
+            "header value is 1-based — pass header value minus 1)")
     k_row = -np.abs(angle_k[freq_no])  # slope sign: beam A below beam B
     v_max = sig.v_max
-    real_dtype = jnp.finfo(mtd_results.dtype).dtype
-    mc = MeasureConsts(
+    return MeasureConsts(
         range_axis=np.arange(sig.n_total_gate, dtype=np.float64)
         * (sig.c / (2 * sig.fs)),
         velocity_axis=np.linspace(-v_max / 2, v_max / 2, sig.prt_num),
@@ -233,8 +253,20 @@ def stage4_measurement(prelim: Detections, mtd_results: jnp.ndarray,
         q_range=spline_upsample_matrix(n, ip.r_interp_times),
         q_vel=spline_upsample_matrix(n, ip.v_interp_times),
     )
-    mag = jnp.abs(mtd_results)
-    maps = mag[:, :, :-1] + mag[:, :, 1:]
+
+
+def stage4_measurement(prelim: Detections, mtd_results: jnp.ndarray,
+                       cfg: RadarConfig, freq_no: int,
+                       maps: jnp.ndarray | None = None,
+                       consts: "MeasureConsts | None" = None
+                       ) -> RealDataMeasurement:
+    """Spline refinement + monopulse with the freq-point K table row.
+    ``maps``/``consts`` let a caller share the stage-3 pair-sum cube and
+    the host-side constants instead of recomputing them."""
+    ip = cfg.interp
+    mc = consts if consts is not None else measure_consts(cfg, freq_no)
+    if maps is None:
+        maps = pair_sum_maps_realdata(mtd_results)
     p = estimate_parameters(prelim, maps, mtd_results, mc, ip.extra_dots,
                             ip.r_interp_times, ip.v_interp_times,
                             monopulse_complex=cfg.monopulse_complex,
@@ -274,8 +306,9 @@ def run_realdata_pipeline(raw_iq: jnp.ndarray, cfg: RadarConfig,
     dbf_w = np.asarray(assets.dbf_coeffs())
     beams = dbf(raw_iq, jnp.asarray(dbf_w, raw_iq.dtype), "realdata")
     rdm, _pc = stage2_mtd(beams, cfg)
-    dets, _flags = stage3_detection(rdm, cfg)
-    meas = stage4_measurement(dets, rdm, cfg, freq_no)
+    maps = pair_sum_maps_realdata(rdm)   # shared by stages 3 + 4
+    dets, _flags = stage3_detection(rdm, cfg, maps=maps)
+    meas = stage4_measurement(dets, rdm, cfg, freq_no, maps=maps)
     return meas, dets, rdm
 
 
@@ -292,9 +325,13 @@ def run_realdata_pipeline_windowed(raw_iq: jnp.ndarray,
     beams2 = dbf(raw_iq_2, jnp.asarray(dbf_w, raw_iq.dtype), "realdata")
     rdm_slices, _pc = stage2_mtd_windowed(beams, beams2, cfg, win_size)
 
+    mc = measure_consts(cfg, freq_no)    # host constants: build ONCE
+
     def per_slice(rdm):
-        dets, _ = stage3_detection(rdm, cfg)
-        return stage4_measurement(dets, rdm, cfg, freq_no)
+        maps = pair_sum_maps_realdata(rdm)
+        dets, _ = stage3_detection(rdm, cfg, maps=maps)
+        return stage4_measurement(dets, rdm, cfg, freq_no, maps=maps,
+                                  consts=mc)
 
     meas = [per_slice(rdm_slices[k]) for k in range(rdm_slices.shape[0])]
     return meas, rdm_slices
