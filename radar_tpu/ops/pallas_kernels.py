@@ -36,6 +36,21 @@ HALO = 128          # >= ref+guard of any shipped config; lane-aligned
 GATE_TILE = 512
 
 
+def _check_window_fits_halo(params: CfarParams) -> None:
+    """The kernels' gate halo and Doppler shift reach are sized by HALO;
+    a wider CFAR window would read zero fill and silently understate the
+    noise estimate at tile boundaries (vs the bit-identical promise
+    against ops/cfar.py) — refuse it loudly. CfarParams is public, so
+    this is a real input class, not a degenerate one."""
+    border_r = params.ref_cells_r + params.guard_cells_r
+    border_v = params.ref_cells_v + params.guard_cells_v
+    if border_r > HALO or border_v > HALO:
+        raise ValueError(
+            f"CFAR window ref+guard (r={border_r}, v={border_v}) exceeds "
+            f"the Pallas kernels' HALO={HALO}; use the ops/cfar.py XLA "
+            "path for windows this wide")
+
+
 def _shift2d(x: jnp.ndarray, k: int, axis: int) -> jnp.ndarray:
     """x[i-k] along axis with zero fill, for a 2D block value."""
     v, g = x.shape
@@ -55,7 +70,10 @@ def _combine(lead, trail, method: str):
         return jnp.maximum(lead, trail)
     if method == "SOCA":
         return jnp.minimum(lead, trail)
-    return 0.5 * (lead + trail)
+    if method == "CA":
+        return 0.5 * (lead + trail)
+    # validate like ops/cfar.py — a typo must not silently become CA
+    raise ValueError(f"unknown CFAR method: {method}")
 
 
 def _cfar_kernel(mag_hbm, mask_ref, thr_ref, scr_a, scr_b, sem_a, sem_b, *,
@@ -209,6 +227,7 @@ def goca_cfar_qvg_pallas(maps_padded: jnp.ndarray, params: CfarParams,
     n_tiles = (g_pad - 2 * HALO) // GATE_TILE
     assert g_pad == n_tiles * GATE_TILE + 2 * HALO and v_padded % 8 == 0, \
         "pad maps with pad_maps_qvg()"
+    _check_window_fits_halo(params)
     kernel = functools.partial(_cfar_maps_kernel, params=params,
                                num_gates=num_gates, num_v_real=num_v,
                                tile=GATE_TILE)
@@ -260,6 +279,7 @@ def goca_cfar_2d_pallas(mag: jnp.ndarray, params: CfarParams,
     beam planes). Returns (mask bool [V, G, B-1], threshold [V, G, B-1])
     matching ops.cfar.goca_cfar_2d(pair_sum_maps(.)).
     """
+    _check_window_fits_halo(params)
     num_beams, num_v, num_g = mag.shape
     n_pairs = num_beams - 1
     n_tiles = pl.cdiv(num_g, GATE_TILE)

@@ -758,6 +758,11 @@ def noise_rdm_pallas_planes(xrs, xis, plan: RdmPlan, l_factor,
         ntiles = -(-seg.j_len // seg.tile)
         jpad = ntiles * seg.tile
         if variant in ("allbeams", "stacked"):
+            if jnp.dtype(out_dtype) != jnp.dtype(jnp.float32):
+                # these ablation variants hardcode f32 output planes; a
+                # silently-ignored out_dtype would fake a bf16-planes A/B
+                raise ValueError(f"variant {variant!r} implements f32 "
+                                 "output planes only")
             call = (_call_allbeams if variant == "allbeams"
                     else _call_stacked)
             yr, yi = call(seg, xr, xi, plan, l_np, num_b, ntiles,
@@ -877,6 +882,10 @@ def noise_rdm_pallas_gen(seed, plan: RdmPlan, l_factor,
     num_k = 0
     if emit_maps:
         assert signal is not None, "emit_maps requires the fused signal"
+    if (stacked or _static_slots) and not rolling:
+        # only the rolling kernel implements these ablation variants — a
+        # silent ignore would make an A/B time the plain kernel twice
+        raise ValueError("stacked/_static_slots require rolling=True")
     if signal is not None:
         assert rolling, "signal fusion is implemented on the rolling kernel"
         dop_v, pc_base, steer = signal

@@ -90,6 +90,18 @@ def make_lowrank_stages(cfg: RadarConfig, precomp, plan, mplan,
 
     noise_rdm = None
     noise_rdm_sig = None
+    if (str(cfg.noise_rdm_impl).startswith("pallas")
+            and (mplan is None or mtd_mat is None)):
+        # refuse rather than silently running the XLA Gaussian chain:
+        # the user asked for the fused kernel (and, for pallas_prng, its
+        # uniform rails), and every other flag conflict in frame.py
+        # fails loudly (round-5 self-review)
+        raise ValueError(
+            f"noise_rdm_impl={cfg.noise_rdm_impl!r} requires the matmul "
+            "PC plan and the MTD matrix (pc_method='matmul' and the "
+            "matmul MTD route); this config resolves "
+            f"mplan={'ok' if mplan is not None else None}, "
+            f"mtd_mat={'ok' if mtd_mat is not None else None}")
     if (cfg.noise_rdm_impl == "pallas_prng" and mplan is not None
             and mtd_mat is not None):
         # in-kernel noise generation: the hardware PRNG draws each grid
