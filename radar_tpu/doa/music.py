@@ -29,7 +29,8 @@ import numpy as np
 class MusicResult(NamedTuple):
     scan_deg: np.ndarray        # [G] (1D) or tuple of axes (2D)
     spectrum: jnp.ndarray       # [G] or [G_az, G_el]
-    peaks_deg: np.ndarray       # [M] estimated DoAs (sorted by power)
+    peaks_deg: np.ndarray       # [M] estimated DoAs — 1D path: ascending
+    #                             angle; 2D pickers: descending power
 
 
 def covariance(x: jnp.ndarray) -> jnp.ndarray:
@@ -62,7 +63,12 @@ def music_spectrum_1d(r: jnp.ndarray, num_sources: int,
 
 def find_peaks_1d(scan_deg: np.ndarray, spectrum: np.ndarray,
                   num_sources: int) -> np.ndarray:
-    """Top-M local maxima by height (MUSIC_1D.m findpeaks idiom)."""
+    """Top-M local maxima by height (MUSIC_1D.m findpeaks idiom),
+    returned in ASCENDING ANGLE order. NB: like MATLAB findpeaks, may
+    return FEWER than ``num_sources`` angles when the spectrum has fewer
+    strict local maxima (e.g. two sources merged into one lobe) —
+    callers indexing a fixed count should check ``len()``; the
+    search-free estimators (doa/superres.py) resolve such pairs."""
     s = np.asarray(spectrum)
     interior = (s[1:-1] > s[:-2]) & (s[1:-1] > s[2:])
     idx = np.nonzero(interior)[0] + 1
@@ -204,6 +210,11 @@ def music_2d(x: jnp.ndarray, num_sources: int, nx: int, ny: int,
     spec = (1.0 / (denom + jnp.finfo(denom.dtype).eps)).reshape(
         len(az_deg), len(el_deg))
 
+    if refine and peak_impl != "device":
+        # refuse rather than silently returning grid-quantized peaks —
+        # the caller asked for ~cell/20 accuracy and would get ~1 cell
+        raise ValueError("refine=True is implemented on the device "
+                         "picker only (peak_impl='device')")
     if peak_impl == "device":
         idx, vals = regional_max_peaks_2d(spec, num_sources)
         # fewer regional maxima than num_sources: the masked top_k fills

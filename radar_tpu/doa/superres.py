@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .music import covariance, noise_subspace
+from .music import covariance
 
 
 def _host_eigvecs_f64(r) -> np.ndarray:

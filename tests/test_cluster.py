@@ -126,14 +126,41 @@ def test_cluster_empty_input():
 
 
 def test_connected_labels_long_chain_converges():
-    """Worst case for fixed-iteration label propagation: one path graph
-    spanning all capacity slots must still collapse to a single component
-    (doubling argument: log2(n)+2 steps cover any chain)."""
+    """One path graph spanning all capacity slots must collapse to a
+    single component (the fixpoint while_loop guarantees it; the former
+    fixed log2(n)+2 trip count did NOT — see the permuted-chain test)."""
     n = 512
     x = np.arange(n, dtype=float)  # gate 1.0 connects only neighbors
     adj = gate_adjacency([(jnp.asarray(x), 1.0)], jnp.ones(n, bool))
     labels = np.asarray(connected_labels(adj, jnp.ones(n, bool)))
     assert np.all(labels == 0), np.unique(labels)
+
+
+def test_connected_labels_permuted_chain_regression():
+    """Round-5 self-review regression: chains whose SLOT order is a
+    permutation of their path order defeated the fixed-trip-count
+    doubling argument (the pointer jump adopts the current-best node's
+    label, which need not be farther along the path) — a 7-node chain in
+    slot order [1,4,2,3,6,5,0] came back as TWO components. The fixpoint
+    loop must label every permuted chain as one component."""
+    # the confirmed minimal case
+    order = np.array([1, 4, 2, 3, 6, 5, 0])
+    n = len(order)
+    x = np.empty(n)
+    x[order] = np.arange(n, dtype=float)   # path position of each slot
+    adj = gate_adjacency([(jnp.asarray(x), 1.0)], jnp.ones(n, bool))
+    labels = np.asarray(connected_labels(adj, jnp.ones(n, bool)))
+    assert len(np.unique(labels)) == 1, labels
+    # randomized permuted chains at the shipped capacity
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        n = 128
+        perm = rng.permutation(n)
+        x = np.empty(n)
+        x[perm] = np.arange(n, dtype=float)
+        adj = gate_adjacency([(jnp.asarray(x), 1.0)], jnp.ones(n, bool))
+        labels = np.asarray(connected_labels(adj, jnp.ones(n, bool)))
+        assert len(np.unique(labels)) == 1, np.unique(labels)
 
 
 def test_stage1_pair_mode_v7_7_variant():
